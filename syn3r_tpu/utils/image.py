@@ -1,0 +1,165 @@
+"""Image utilities: antialiased resize, normalization, PSNR/SSIM.
+
+Covers the reference's preprocessing + metric stack:
+  - ``resize_antialiased`` matches ``_resize_with_antialiasing`` (reference
+    ``model/SVD_2pass_prob_uncertain_post.py:108-134``): skimage-style
+    gaussian pre-blur with sigma=(factor-1)/2 followed by bicubic
+    interpolation with align_corners=True — used to feed CLIP at 224x224.
+  - ``psnr`` / ``ssim`` match the 3DGS-family evaluation (FSGS metrics.py,
+    a missing submodule; SSIM is the standard 11x11 gaussian-window form).
+
+All images channel-last float32. Static shapes; everything jits.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# Gaussian blur (separable, reflect padding)
+# ---------------------------------------------------------------------------
+
+def _gaussian_kernel1d(ksize: int, sigma: float) -> jnp.ndarray:
+    x = jnp.arange(ksize, dtype=jnp.float32) - (ksize - 1) / 2.0
+    g = jnp.exp(-(x ** 2) / (2.0 * sigma ** 2))
+    return g / g.sum()
+
+
+def gaussian_blur(img: jnp.ndarray, ksize: tuple[int, int],
+                  sigma: tuple[float, float]) -> jnp.ndarray:
+    """Separable gaussian blur, reflect padding. img: (H, W, C)."""
+    ky, kx = ksize
+    kyv = _gaussian_kernel1d(ky, sigma[0])
+    kxv = _gaussian_kernel1d(kx, sigma[1])
+    # Separable depthwise conv, channels as batch; reflect pad by hand since
+    # conv padding is zero-fill.
+    x = jnp.pad(img, ((ky // 2, ky // 2), (kx // 2, kx // 2), (0, 0)),
+                mode="reflect")
+    x = jnp.moveaxis(x, -1, 0)[:, None]              # (C, 1, H+p, W+p)
+    x = jax.lax.conv_general_dilated(
+        x, kxv[None, None, None, :], (1, 1), "VALID")
+    x = jax.lax.conv_general_dilated(
+        x, kyv[None, None, :, None], (1, 1), "VALID")
+    return jnp.moveaxis(x[:, 0], 0, -1)
+
+
+# ---------------------------------------------------------------------------
+# Bicubic resize (align_corners=True, Keys a=-0.75 — torch semantics)
+# ---------------------------------------------------------------------------
+
+def _cubic_weights(t: jnp.ndarray, a: float = -0.75) -> jnp.ndarray:
+    """Keys cubic convolution weights for the 4 taps at offsets
+    (-1, 0, 1, 2) relative to floor(src). t = frac(src). Returns (..., 4)."""
+    t2 = t * t
+    t3 = t2 * t
+    w0 = a * (t3 - 2 * t2 + t)                      # tap at -1: distance 1+t
+    w0 = a * t3 - 2 * a * t2 + a * t
+    w1 = (a + 2) * t3 - (a + 3) * t2 + 1            # tap at 0: distance t
+    w2 = -(a + 2) * t3 + (2 * a + 3) * t2 - a * t   # tap at 1: distance 1-t
+    w3 = -a * t3 + a * t2                           # tap at 2: distance 2-t
+    return jnp.stack([w0, w1, w2, w3], axis=-1)
+
+
+def _resize_axis_cubic(img: jnp.ndarray, out_size: int, axis: int) -> jnp.ndarray:
+    in_size = img.shape[axis]
+    if out_size == in_size:
+        return img
+    if out_size == 1:
+        src = jnp.zeros((1,), jnp.float32)
+    else:
+        src = jnp.arange(out_size, dtype=jnp.float32) * (in_size - 1) / (out_size - 1)
+    i0 = jnp.floor(src).astype(jnp.int32)
+    t = src - i0
+    w = _cubic_weights(t)                           # (out, 4)
+    idx = i0[:, None] + jnp.arange(-1, 3)[None, :]  # (out, 4)
+    idx = jnp.clip(idx, 0, in_size - 1)
+    taken = jnp.take(img, idx.reshape(-1), axis=axis)
+    taken = jnp.moveaxis(taken, axis, 0).reshape(
+        (out_size, 4) + tuple(s for i, s in enumerate(img.shape) if i != axis))
+    out = jnp.einsum("ok,ok...->o...", w, taken)
+    return jnp.moveaxis(out, 0, axis)
+
+
+def resize_bicubic(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """Bicubic resize, align_corners=True (torch interpolate semantics)."""
+    return _resize_axis_cubic(_resize_axis_cubic(img, out_h, 0), out_w, 1)
+
+
+def resize_antialiased(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """Gaussian-prefiltered bicubic resize, matching the reference's
+    ``_resize_with_antialiasing`` used for CLIP preprocessing."""
+    h, w = img.shape[:2]
+    fy, fx = h / out_h, w / out_w
+    sy = max((fy - 1.0) / 2.0, 0.001)
+    sx = max((fx - 1.0) / 2.0, 0.001)
+    ky = int(max(4.0 * sy, 3))
+    kx = int(max(4.0 * sx, 3))
+    ky += (ky % 2 == 0)
+    kx += (kx % 2 == 0)
+    blurred = gaussian_blur(img, (ky, kx), (sy, sx))
+    return resize_bicubic(blurred, out_h, out_w)
+
+
+def resize_bilinear(img: jnp.ndarray, out_h: int, out_w: int,
+                    antialias: bool = True) -> jnp.ndarray:
+    """Plain bilinear resize via jax.image (used where the reference uses
+    F.interpolate(mode='bilinear'))."""
+    return jax.image.resize(img, (out_h, out_w) + img.shape[2:], "linear",
+                            antialias=antialias)
+
+
+# ---------------------------------------------------------------------------
+# Metrics
+# ---------------------------------------------------------------------------
+
+def psnr(pred: jnp.ndarray, target: jnp.ndarray, max_val: float = 1.0) -> jnp.ndarray:
+    mse = jnp.mean((pred - target) ** 2)
+    return 20.0 * jnp.log10(max_val) - 10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
+
+
+def _ssim_window(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
+    g = _gaussian_kernel1d(size, sigma)
+    return jnp.outer(g, g)
+
+
+def ssim(pred: jnp.ndarray, target: jnp.ndarray, max_val: float = 1.0,
+         window_size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
+    """Gaussian-window SSIM (the 3DGS-lineage formulation: 11x11, sigma 1.5,
+    same-padding, C1=(0.01L)^2, C2=(0.03L)^2). pred/target: (H, W, C)."""
+    c1 = (0.01 * max_val) ** 2
+    c2 = (0.03 * max_val) ** 2
+    win = _ssim_window(window_size, sigma)
+    kern = win[:, :, None, None]                                   # HWIO
+
+    def conv(x):
+        # depthwise conv: treat channels as batch
+        xt = jnp.moveaxis(x, -1, 0)[:, None]                       # (C,1,H,W)
+        out = jax.lax.conv_general_dilated(
+            xt, kern.transpose(2, 3, 0, 1),                        # OIHW
+            window_strides=(1, 1), padding="SAME")
+        return jnp.moveaxis(out[:, 0], 0, -1)
+
+    mu_p = conv(pred)
+    mu_t = conv(target)
+    mu_pp = conv(pred * pred)
+    mu_tt = conv(target * target)
+    mu_pt = conv(pred * target)
+    var_p = mu_pp - mu_p ** 2
+    var_t = mu_tt - mu_t ** 2
+    cov = mu_pt - mu_p * mu_t
+    s = ((2 * mu_p * mu_t + c1) * (2 * cov + c2)) / (
+        (mu_p ** 2 + mu_t ** 2 + c1) * (var_p + var_t + c2))
+    return jnp.mean(s)
+
+
+def to_neg1_1(img01: jnp.ndarray) -> jnp.ndarray:
+    """[0,1] -> [-1,1] (VaeImageProcessor normalize)."""
+    return img01 * 2.0 - 1.0
+
+
+def to_01(img_pm1: jnp.ndarray) -> jnp.ndarray:
+    return jnp.clip(img_pm1 * 0.5 + 0.5, 0.0, 1.0)

@@ -1,0 +1,21 @@
+"""Test config: run all tests on CPU with 8 virtual devices.
+
+This is the standard JAX fake-backend trick: multi-chip sharding logic is
+validated without TPU hardware (SURVEY.md §4). Must run before jax imports.
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+# Persistent compilation cache: this box has ONE cpu core, so XLA compiles
+# dominate test time — cache everything, no matter how small. The env vars
+# are not honored on this jax version; set via config (after env above).
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
