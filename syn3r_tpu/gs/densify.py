@@ -1,0 +1,143 @@
+"""Adaptive density control (clone / split / prune) under static shapes.
+
+The CUDA 3DGS trainer reallocates tensors every densify step; under XLA we
+keep a fixed-capacity state with an ``active`` mask and do densification as
+a jitted *compaction* (SURVEY.md §7 hard-part #2):
+
+  - candidates (clones + 2x split samples) are compacted to the front by a
+    stable argsort on validity,
+  - pruned/split-origin slots are freed,
+  - candidates are scattered into free slots with ``mode='drop'`` so
+    overflow beyond capacity is silently dropped (the host grows capacity
+    by bucket-doubling when occupancy crosses a threshold — at most
+    log2(N_max) recompiles per fit).
+
+Semantics follow the 3DGS recipe the reference's FSGS fork inherits
+(thresholds visible at reference ``bash_scripts/batch_llff_train.sh:39``:
+``--densify_grad_threshold 0.0002 --percent_dense 0.001``): clone small
+high-gradient Gaussians, split large ones (scale/1.6, 2 samples), prune
+low-opacity, periodic opacity reset.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..models.gaussians import GaussianState, quat_to_rotmat
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DensifyStats:
+    grad_accum: jnp.ndarray   # (cap,) accumulated screen-grad norms
+    denom: jnp.ndarray        # (cap,) number of iterations seen visible
+    max_radii: jnp.ndarray    # (cap,) max screen radius seen
+
+    @staticmethod
+    def zeros(capacity: int) -> "DensifyStats":
+        z = jnp.zeros((capacity,), jnp.float32)
+        return DensifyStats(grad_accum=z, denom=z, max_radii=z)
+
+    def update(self, screen_grad: jnp.ndarray, radii: jnp.ndarray,
+               visible: jnp.ndarray) -> "DensifyStats":
+        """screen_grad: (cap, 2) d(loss)/d(pixel center); radii: (cap,)."""
+        gnorm = jnp.linalg.norm(screen_grad, axis=-1)
+        vis = visible.astype(jnp.float32)
+        return DensifyStats(
+            grad_accum=self.grad_accum + gnorm * vis,
+            denom=self.denom + vis,
+            max_radii=jnp.maximum(self.max_radii, radii * vis),
+        )
+
+
+def _scatter_rows(dst: jnp.ndarray, idx: jnp.ndarray,
+                  src: jnp.ndarray) -> jnp.ndarray:
+    """dst[idx[j]] = src[j] with out-of-range idx dropped."""
+    return dst.at[idx].set(src, mode="drop")
+
+
+def densify_and_prune(state: GaussianState, stats: DensifyStats,
+                      key: jax.Array, grad_threshold: float = 2e-4,
+                      percent_dense: float = 0.01, extent: float = 1.0,
+                      min_opacity: float = 0.005,
+                      max_world_scale: float | None = None,
+                      split_factor: float = 1.6):
+    """One adaptive-density step. Returns (new_state, changed_slots_mask).
+
+    ``changed_slots_mask`` marks slots whose parameters were (re)written —
+    the trainer zeroes Adam moments there, matching the CUDA trainer's
+    behavior of fresh optimizer entries for new Gaussians.
+    """
+    cap = state.capacity
+    avg_grad = stats.grad_accum / jnp.maximum(stats.denom, 1.0)
+    scales = jnp.exp(state.log_scales)
+    scale_max = scales.max(axis=-1)
+
+    hot = state.active & (avg_grad > grad_threshold)
+    clone = hot & (scale_max <= percent_dense * extent)
+    split = hot & (scale_max > percent_dense * extent)
+
+    opacity = jax.nn.sigmoid(state.opacity_logits[:, 0])
+    keep = state.active & (opacity > min_opacity) & ~split
+    if max_world_scale is not None:
+        keep = keep & (scale_max < max_world_scale * extent)
+
+    # --- candidate construction ------------------------------------------
+    # clones: verbatim copies. splits: two resamples from the Gaussian.
+    R = quat_to_rotmat(state.quats)                       # (cap, 3, 3)
+    k1, k2 = jax.random.split(key)
+    eps1 = jax.random.normal(k1, (cap, 3)) * scales
+    eps2 = jax.random.normal(k2, (cap, 3)) * scales
+    off1 = jnp.einsum("nij,nj->ni", R, eps1)
+    off2 = jnp.einsum("nij,nj->ni", R, eps2)
+    split_log_scales = state.log_scales - jnp.log(split_factor)
+
+    def cand_field(field, split_a, split_b):
+        return jnp.concatenate([field, split_a, split_b], axis=0)
+
+    cand = {
+        "means": cand_field(state.means, state.means + off1,
+                            state.means + off2),
+        "quats": cand_field(state.quats, state.quats, state.quats),
+        "log_scales": cand_field(state.log_scales, split_log_scales,
+                                 split_log_scales),
+        "opacity_logits": cand_field(state.opacity_logits,
+                                     state.opacity_logits,
+                                     state.opacity_logits),
+        "sh_dc": cand_field(state.sh_dc, state.sh_dc, state.sh_dc),
+        "sh_rest": cand_field(state.sh_rest, state.sh_rest, state.sh_rest),
+    }
+    cand_valid = jnp.concatenate([clone, split, split], axis=0)  # (3cap,)
+
+    # compact candidates to the front (stable: argsort of ~valid)
+    order = jnp.argsort(~cand_valid, stable=True)
+    cand = {k: v[order] for k, v in cand.items()}
+    n_new = cand_valid.sum()
+
+    # free slots to the front (inactive-after-prune first)
+    free_order = jnp.argsort(keep, stable=True)           # False first
+    n_free = cap - keep.sum()
+    j = jnp.arange(3 * cap)
+    can_write = (j < n_new) & (j < n_free)
+    # slot for candidate j: free_order[min(j, cap-1)], invalid -> cap (drop)
+    slot = jnp.where(can_write, free_order[jnp.minimum(j, cap - 1)], cap)
+
+    new_fields = {k: _scatter_rows(getattr(state, k), slot, v)
+                  for k, v in cand.items()}
+    written = jnp.zeros((cap,), bool).at[slot].set(True, mode="drop")
+    new_active = keep | written
+
+    new_state = state.replace(active=new_active, **new_fields)
+    return new_state, written
+
+
+def reset_opacity(state: GaussianState,
+                  max_opacity: float = 0.01) -> GaussianState:
+    """Clamp all opacities to <= max_opacity (the periodic 3DGS reset that
+    combats floaters)."""
+    cap_logit = jnp.log(max_opacity / (1.0 - max_opacity))
+    return state.replace(
+        opacity_logits=jnp.minimum(state.opacity_logits, cap_logit))

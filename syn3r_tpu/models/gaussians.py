@@ -88,8 +88,12 @@ def next_capacity(n: int, minimum: int = 4096) -> int:
 
 
 def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
-    """(N, 4) raw quats -> (N, 3, 3); normalizes internally (differentiable)."""
-    q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-12)
+    """(N, 4) raw quats -> (N, 3, 3); normalizes internally (differentiable).
+
+    rsqrt(sum + eps) instead of /norm: an all-zero quaternion (padding slot)
+    must yield finite (zero) gradients, not the NaN that d|q|/dq at 0 gives.
+    """
+    q = q * jax.lax.rsqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-12)
     w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
     m = jnp.stack([
         1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y),
@@ -158,10 +162,10 @@ def from_points(xyz: jnp.ndarray, rgb: jnp.ndarray, sh_degree: int = 3,
         padding = [(0, cap - n)] + [(0, 0)] * (x.ndim - 1)
         return jnp.pad(x.astype(jnp.float32), padding, constant_values=fill)
 
-    quats = jnp.zeros((n, 4)).at[:, 0].set(1.0)
+    quats = jnp.zeros((cap, 4)).at[:, 0].set(1.0)  # identity incl. padding
     return GaussianState(
         means=pad(jnp.asarray(xyz, jnp.float32)),
-        quats=pad(quats),
+        quats=quats.at[:n].set(jnp.zeros((n, 4)).at[:, 0].set(1.0)),
         log_scales=pad(log_scales, fill=-10.0),
         opacity_logits=pad(jnp.full((n, 1), inv_sig), fill=-100.0),
         sh_dc=pad(rgb_to_sh_dc(jnp.asarray(rgb, jnp.float32))[:, None]),

@@ -108,7 +108,8 @@ def project_gaussians(state: GaussianState, camera: Camera,
     # View-dependent color from SH.
     cam_pos = camera.position
     dirs = state.means - cam_pos
-    dirs = dirs / (jnp.linalg.norm(dirs, axis=-1, keepdims=True) + 1e-12)
+    dirs = dirs * jax.lax.rsqrt(jnp.sum(dirs * dirs, axis=-1,
+                                        keepdims=True) + 1e-12)
     rgb = jnp.maximum(eval_sh(state.sh, dirs, sh_degree) + 0.5, 0.0)
 
     valid = state.active & (tz > near) & (det > 0)
@@ -135,7 +136,11 @@ def _gaussian_matmul_features(sg: ScreenGaussians):
     ], axis=-1)                                                  # (N, 6)
     C = jnp.concatenate([sg.rgb, sg.depth[:, None],
                          jnp.ones_like(sg.depth)[:, None]], axis=-1)  # (N, 5)
-    return G, C
+    # Zero the features of invalid Gaussians. Their opacity is already 0,
+    # but 0 * exp(NaN/Inf power) = NaN would otherwise leak through the
+    # matmuls (padding slots can hold arbitrary parameter values).
+    v = sg.valid[:, None]
+    return jnp.where(v, G, 0.0), jnp.where(v, C, 0.0)
 
 
 def pixel_features(ys: jnp.ndarray, xs: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,166 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from syn3r_tpu.gs.densify import DensifyStats, densify_and_prune, reset_opacity
+from syn3r_tpu.gs.trainer import (GSTrainer, TrainConfig, make_viewset,
+                                  order_cameras_tsp, scene_extent)
+from syn3r_tpu.models import gaussians as G
+from syn3r_tpu.ops.rasterize import render
+from syn3r_tpu.utils.camera import camera_from_fov, look_at_w2c, make_camera
+
+
+def _simple_state(cap=8):
+    n = 4
+    means = np.array([[0, 0, 2], [0.5, 0, 2], [-0.5, 0, 2], [0, 0.5, 2]],
+                     np.float32)
+    st = G.from_points(jnp.asarray(means),
+                       jnp.asarray(np.full((n, 3), 0.5, np.float32)),
+                       capacity=cap)
+    return st
+
+
+def test_densify_clone_split_prune():
+    st = _simple_state()
+    cap = st.capacity
+    # gaussian 0: high grad, small scale -> clone
+    # gaussian 1: high grad, large scale -> split (original removed, 2 new)
+    # gaussian 2: low grad -> untouched
+    # gaussian 3: low opacity -> pruned
+    st = st.replace(
+        log_scales=st.log_scales.at[0].set(jnp.log(0.001))
+                               .at[1].set(jnp.log(0.5)),
+        opacity_logits=st.opacity_logits.at[3, 0].set(-10.0))
+    stats = DensifyStats.zeros(cap)
+    stats = DensifyStats(
+        grad_accum=stats.grad_accum.at[0].set(1.0).at[1].set(1.0),
+        denom=jnp.ones((cap,)), max_radii=stats.max_radii)
+
+    new, changed = densify_and_prune(st, stats, jax.random.PRNGKey(0),
+                                     grad_threshold=0.5, percent_dense=0.01,
+                                     extent=1.0, min_opacity=0.005)
+    # counts: started 4 active; -1 prune, -1 split orig, +1 clone, +2 split
+    assert int(new.num_active) == 4 - 2 + 3
+    # gaussian 2 untouched and still active
+    assert bool(new.active[2])
+    np.testing.assert_allclose(np.asarray(new.means[2]),
+                               np.asarray(st.means[2]))
+    # gaussian 3 pruned: its slot was freed (and may be reused by a new
+    # candidate — changed marks exactly the rewritten slots)
+    assert int(changed.sum()) == 3
+    assert not bool(changed[2])
+
+
+def test_densify_respects_capacity():
+    st = _simple_state(cap=4)  # full
+    stats = DensifyStats(grad_accum=jnp.ones((4,)), denom=jnp.ones((4,)),
+                         max_radii=jnp.zeros((4,)))
+    new, changed = densify_and_prune(st, stats, jax.random.PRNGKey(0),
+                                     grad_threshold=0.5,
+                                     percent_dense=100.0,  # all clones
+                                     extent=1.0)
+    # no free slots -> no writes, but nothing corrupted
+    assert int(new.num_active) == 4
+    assert int(changed.sum()) == 0
+
+
+def test_opacity_reset():
+    st = _simple_state()
+    new = reset_opacity(st, max_opacity=0.01)
+    op = np.asarray(new.opacities[np.asarray(new.active)])
+    assert (op <= 0.0101).all()
+
+
+def _toy_scene(n_views=3, w=48, h=36):
+    """Ground-truth gaussians rendered from a few cameras = training data."""
+    rng = np.random.default_rng(0)
+    n = 60
+    xyz = np.concatenate([rng.uniform(-0.8, 0.8, (n, 2)),
+                          rng.uniform(1.8, 2.6, (n, 1))], axis=1).astype(np.float32)
+    rgb = rng.uniform(0.1, 0.9, (n, 3)).astype(np.float32)
+    gt = G.from_points(jnp.asarray(xyz), jnp.asarray(rgb), capacity=64)
+    # make them chunkier + more opaque than default init
+    gt = gt.replace(log_scales=gt.log_scales + 0.7,
+                    opacity_logits=jnp.where(gt.active[:, None],
+                                             2.0, -100.0))
+    cams, imgs = [], []
+    for i in range(n_views):
+        eye = jnp.asarray([0.35 * (i - 1), 0.05 * i, 0.0])
+        cam = camera_from_fov(0.9, 0.7, w, h,
+                              look_at_w2c(eye, jnp.asarray([0., 0., 2.2])))
+        out = render(gt, cam, chunk=64, group=1)
+        cams.append(cam)
+        imgs.append(np.asarray(out.rgb))
+    return gt, cams, np.stack(imgs)
+
+
+def test_training_improves_psnr():
+    gt, cams, imgs = _toy_scene()
+    views = make_viewset(cams, imgs)
+    # init from noisy GT points
+    rng = np.random.default_rng(1)
+    xyz = np.asarray(gt.means[np.asarray(gt.active)]) \
+        + rng.normal(0, 0.05, (int(gt.num_active), 3)).astype(np.float32)
+    init = G.from_points(jnp.asarray(xyz),
+                         jnp.asarray(np.full_like(xyz, 0.5)), capacity=64)
+    # short budget -> crank the color/opacity lrs so convergence is visible
+    cfg = TrainConfig(iterations=400, densify_from_iter=100,
+                      densification_interval=100, opacity_reset_interval=10**9,
+                      chunk=64, group=1, position_lr_max_steps=400,
+                      feature_lr=0.02, opacity_lr=0.08, scaling_lr=0.01)
+    tr = GSTrainer(views, cfg, init, model_path="/tmp/gs_test_model")
+
+    cam0, img0 = views.view(0)
+    def cur_psnr():
+        out = tr.render_view(cam0)
+        mse = float(jnp.mean((out["render"] - img0) ** 2))
+        return -10 * np.log10(mse + 1e-12)
+
+    before = cur_psnr()
+    tr.training(log_every=0)
+    after = cur_psnr()
+    assert after > before + 3.0, (before, after)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    _, cams, imgs = _toy_scene(n_views=2)
+    views = make_viewset(cams, imgs)
+    st = _simple_state()
+    cfg = TrainConfig(iterations=5, chunk=8, group=1)
+    tr = GSTrainer(views, cfg, st, model_path=str(tmp_path))
+    path = tr.save_checkpoint(5)
+    means_before = np.asarray(tr.gaussians.means)
+    tr.state = tr.state  # noop
+    tr.load_checkpoint(path)
+    np.testing.assert_allclose(np.asarray(tr.gaussians.means), means_before)
+    assert tr.latest_checkpoint() is not None
+
+
+def test_update_cameras_appends_pseudo():
+    _, cams, imgs = _toy_scene(n_views=2)
+    views = make_viewset(cams, imgs)
+    tr = GSTrainer(views, TrainConfig(iterations=1, chunk=8, group=1),
+                   _simple_state(), model_path="/tmp/gs_test_model2")
+    poses = np.stack([np.asarray(cams[0].w2c)] * 3)
+    K = np.asarray(cams[0].K)
+    fake = np.zeros((3, 36, 48, 3), np.float32)
+    tr.update_cameras(fake, poses, K, cam_confidences=0.05, append=True)
+    assert len(tr.pseudo_views) == 3
+    np.testing.assert_allclose(
+        np.asarray(tr.pseudo_views.cameras.confidence), 0.05)
+    tr.update_cameras(fake[:1], poses[:1], K, cam_confidences=[0.2],
+                      append=True)
+    assert len(tr.pseudo_views) == 4
+
+
+def test_tsp_ordering_and_extent():
+    cams = []
+    for x in [0.0, 2.0, 1.0, 3.0]:  # scrambled along a line
+        cams.append(camera_from_fov(0.9, 0.7, 8, 8,
+                                    look_at_w2c(jnp.asarray([x, 0., 0.]),
+                                                jnp.asarray([1.5, 0., 5.]))))
+    from syn3r_tpu.utils.camera import stack_cameras
+    batched = stack_cameras(cams)
+    order = order_cameras_tsp(batched)
+    assert order == [0, 2, 1, 3]
+    assert scene_extent(batched) > 0
