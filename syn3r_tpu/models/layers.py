@@ -1,0 +1,233 @@
+"""Shared Flax building blocks for the SVD model stack.
+
+Fresh NHWC/TPU-first implementations of the primitives the reference gets
+from diffusers (``models/resnet.py``, ``models/attention.py``,
+``models/embeddings.py`` — architecture documented in SURVEY.md §2.8).
+Parameter names deliberately mirror the diffusers state-dict layout so
+torch->flax weight conversion (models/convert.py) is mechanical.
+
+Conventions: spatial tensors are (B, H, W, C) channel-last; sequences are
+(B, S, C). Compute dtype is a module arg (bf16 on TPU); params stay f32.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def timestep_embedding(timesteps: jnp.ndarray, dim: int,
+                       flip_sin_to_cos: bool = True,
+                       downscale_freq_shift: float = 0.0,
+                       max_period: float = 10000.0) -> jnp.ndarray:
+    """Sinusoidal embeddings (diffusers ``get_timestep_embedding``)."""
+    half = dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - downscale_freq_shift)
+    emb = jnp.exp(exponent)[None, :] * timesteps.astype(jnp.float32)[:, None]
+    sin, cos = jnp.sin(emb), jnp.cos(emb)
+    return jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos],
+                           axis=-1)
+
+
+class TimestepEmbedding(nn.Module):
+    """Two-layer MLP over sinusoidal features (linear_1/act/linear_2)."""
+    time_embed_dim: int
+    out_dim: Optional[int] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.time_embed_dim, dtype=self.dtype, name="linear_1")(x)
+        x = nn.silu(x)
+        x = nn.Dense(self.out_dim or self.time_embed_dim, dtype=self.dtype,
+                     name="linear_2")(x)
+        return x
+
+
+class Attention(nn.Module):
+    """Multi-head attention matching diffusers ``Attention`` semantics.
+
+    - qkv projections without bias unless ``qkv_bias``; output projection
+      with bias (``to_out.0``).
+    - optional GroupNorm on the channel dim before projection (VAE mid).
+    - optional residual connection (VAE mid).
+    - softmax in f32 regardless of compute dtype.
+    """
+    heads: int
+    dim_head: int
+    out_dim: Optional[int] = None
+    qkv_bias: bool = False
+    norm_num_groups: Optional[int] = None
+    residual_connection: bool = False
+    eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        # x: (B, S, C) or (B, H, W, C) (spatial -> flattened internally)
+        spatial = x.ndim == 4
+        if spatial:
+            b, h, w, c = x.shape
+            x = x.reshape(b, h * w, c)
+        residual = x
+        if self.norm_num_groups is not None:
+            x = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=self.eps,
+                             dtype=self.dtype, name="group_norm")(x)
+        ctx = x if context is None else context
+        inner = self.heads * self.dim_head
+        q = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype,
+                     name="to_q")(x)
+        k = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype,
+                     name="to_k")(ctx)
+        v = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype,
+                     name="to_v")(ctx)
+
+        def split(t):
+            return t.reshape(t.shape[0], t.shape[1], self.heads,
+                             self.dim_head).transpose(0, 2, 1, 3)
+
+        q, k, v = split(q), split(k), split(v)
+        scale = 1.0 / math.sqrt(self.dim_head)
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                          preferred_element_type=jnp.float32) * scale
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(v.dtype), v)
+        out = out.transpose(0, 2, 1, 3).reshape(x.shape[0], x.shape[1], inner)
+        out = nn.Dense(self.out_dim or x.shape[-1], dtype=self.dtype,
+                       name="to_out_0")(out)
+        if self.residual_connection:
+            out = out + residual
+        if spatial:
+            out = out.reshape(b, h, w, -1)
+        return out
+
+
+class GEGLU(nn.Module):
+    inner_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.inner_dim * 2, dtype=self.dtype, name="proj")(x)
+        x, gate = jnp.split(x, 2, axis=-1)
+        return x * nn.gelu(gate, approximate=False)
+
+
+class FeedForward(nn.Module):
+    """GEGLU feed-forward (diffusers ``FeedForward`` with geglu)."""
+    dim_out: Optional[int] = None
+    mult: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        inner = x.shape[-1] * self.mult
+        x = GEGLU(inner, dtype=self.dtype, name="net_0")(x)
+        x = nn.Dense(self.dim_out or x.shape[-1] // 1, dtype=self.dtype,
+                     name="net_2")(x)
+        return x
+
+
+class ResnetBlock2D(nn.Module):
+    """GN -> silu -> conv3x3 -> (+temb) -> GN -> silu -> conv3x3 + shortcut."""
+    out_channels: int
+    eps: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb=None):
+        h = nn.GroupNorm(num_groups=32, epsilon=self.eps, dtype=self.dtype,
+                         name="norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv1")(h)
+        if temb is not None:
+            t = nn.Dense(self.out_channels, dtype=self.dtype,
+                         name="time_emb_proj")(nn.silu(temb))
+            h = h + t[:, None, None, :]
+        h = nn.GroupNorm(num_groups=32, epsilon=self.eps, dtype=self.dtype,
+                         name="norm2")(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv2")(h)
+        if x.shape[-1] != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                        name="conv_shortcut")(x)
+        return x + h
+
+
+class TemporalResnetBlock(nn.Module):
+    """3D-conv resnet over the frame axis, kernel (3,1,1).
+
+    x: (B, F, H, W, C); temb: (B, F, temb_dim) or None.
+    """
+    out_channels: int
+    eps: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb=None):
+        h = nn.GroupNorm(num_groups=32, epsilon=self.eps, dtype=self.dtype,
+                         name="norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 1, 1), padding=((1, 1), (0, 0),
+                    (0, 0)), dtype=self.dtype, name="conv1")(h)
+        if temb is not None:
+            t = nn.Dense(self.out_channels, dtype=self.dtype,
+                         name="time_emb_proj")(nn.silu(temb))
+            h = h + t[:, :, None, None, :]
+        h = nn.GroupNorm(num_groups=32, epsilon=self.eps, dtype=self.dtype,
+                         name="norm2")(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 1, 1), padding=((1, 1), (0, 0),
+                    (0, 0)), dtype=self.dtype, name="conv2")(h)
+        if x.shape[-1] != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1, 1), dtype=self.dtype,
+                        name="conv_shortcut")(x)
+        return x + h
+
+
+class AlphaBlender(nn.Module):
+    """Learned spatial/temporal mix (diffusers ``AlphaBlender``).
+
+    With the SVD pipelines image_only_indicator is always zeros, so
+    'learned_with_images' reduces to alpha = sigmoid(mix_factor); we keep
+    the strategy switch for VAE ('learned' + switched mix).
+    """
+    merge_strategy: str = "learned_with_images"
+    switch_spatial_to_temporal_mix: bool = False
+
+    @nn.compact
+    def __call__(self, x_spatial, x_temporal):
+        mix = self.param("mix_factor", lambda k: jnp.asarray([0.5]))
+        alpha = jax.nn.sigmoid(mix[0]).astype(x_spatial.dtype)
+        if self.switch_spatial_to_temporal_mix:
+            alpha = 1.0 - alpha
+        return alpha * x_spatial + (1.0 - alpha) * x_temporal
+
+
+class Downsample2D(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.out_channels, (3, 3), strides=(2, 2), padding=1,
+                       dtype=self.dtype, name="conv")(x)
+
+
+class Upsample2D(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        return nn.Conv(self.out_channels, (3, 3), padding=1,
+                       dtype=self.dtype, name="conv")(x)

@@ -17,5 +17,9 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+# This XLA:CPU build honors the TPU-style default (reduced) matmul
+# precision; golden-parity tests need exact f32. Production TPU compute
+# uses explicit bf16 dtypes, which this setting does not affect.
+jax.config.update("jax_default_matmul_precision", "highest")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -1,0 +1,120 @@
+"""Golden parity of the Flax SVD UNet + temporal VAE against the reference
+torch modules (tiny configs, random weights converted torch->flax)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from syn3r_tpu.models.convert import assert_tree_match, torch_to_flax
+from syn3r_tpu.models.svd_unet import UNetSpatioTemporalConditionModel
+from syn3r_tpu.models.vae import AutoencoderKLTemporalDecoder
+
+
+def _ref_modules():
+    import sys
+    import huggingface_hub
+    if not hasattr(huggingface_hub, "cached_download"):
+        huggingface_hub.cached_download = huggingface_hub.hf_hub_download
+    if "/root/reference/thirdparty/diffusers/src" not in sys.path:
+        sys.path.insert(0, "/root/reference/thirdparty/diffusers/src")
+    from diffusers import (AutoencoderKLTemporalDecoder as TorchVAE,
+                           UNetSpatioTemporalConditionModel as TorchUNet)
+    return TorchUNet, TorchVAE
+
+
+try:
+    _ref_modules()
+    HAVE_ORACLE = True
+except Exception:
+    HAVE_ORACLE = False
+
+needs_oracle = pytest.mark.skipif(not HAVE_ORACLE,
+                                  reason="reference diffusers unavailable")
+
+
+@needs_oracle
+@pytest.mark.parametrize("batch", [1, 2])
+def test_unet_parity_tiny(batch):
+    import torch
+    TorchUNet, _ = _ref_modules()
+    torch.manual_seed(0)
+    tu = TorchUNet(
+        in_channels=8, out_channels=4,
+        block_out_channels=(32, 64),
+        down_block_types=("CrossAttnDownBlockSpatioTemporal",
+                          "DownBlockSpatioTemporal"),
+        up_block_types=("UpBlockSpatioTemporal",
+                        "CrossAttnUpBlockSpatioTemporal"),
+        layers_per_block=1, cross_attention_dim=12,
+        num_attention_heads=(2, 4), addition_time_embed_dim=4,
+        projection_class_embeddings_input_dim=12, num_frames=3,
+    ).eval()
+
+    f, h, w = 3, 8, 8
+    rng = np.random.default_rng(0)
+    sample = rng.normal(size=(batch, f, 8, h, w)).astype(np.float32)
+    ehs = rng.normal(size=(batch, 1, 12)).astype(np.float32)
+    tids = np.array([[6.0, 127.0, 0.02]] * batch, np.float32)
+    t = 1.3
+
+    with torch.no_grad():
+        ref = tu(torch.from_numpy(sample), torch.tensor(t),
+                 torch.from_numpy(ehs), torch.from_numpy(tids)).sample.numpy()
+
+    sd = {k: v.numpy() for k, v in tu.state_dict().items()}
+    params = torch_to_flax(sd)
+
+    fu = UNetSpatioTemporalConditionModel(
+        block_out_channels=(32, 64), num_attention_heads=(2, 4),
+        layers_per_block=1, addition_time_embed_dim=4)
+    # NHWC sample
+    x = jnp.asarray(sample.transpose(0, 1, 3, 4, 2))
+    init = fu.init(jax.random.PRNGKey(0), x, t, jnp.asarray(ehs),
+                   jnp.asarray(tids))
+    assert_tree_match(params, init["params"])
+    out = fu.apply({"params": params}, x, t, jnp.asarray(ehs),
+                   jnp.asarray(tids))
+    out = np.asarray(out).transpose(0, 1, 4, 2, 3)
+    np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-4)
+
+
+@needs_oracle
+def test_vae_parity_tiny():
+    import torch
+    _, TorchVAE = _ref_modules()
+    torch.manual_seed(1)
+    # layers_per_block=2 (the real SVD depth): the torch mid-block always
+    # instantiates one attention but only applies it when num_layers >= 2
+    tv = TorchVAE(in_channels=3, out_channels=3,
+                  down_block_types=("DownEncoderBlock2D",) * 2,
+                  block_out_channels=(32, 64), layers_per_block=2,
+                  latent_channels=4).eval()
+
+    f, h, w = 2, 16, 16
+    rng = np.random.default_rng(1)
+    img = rng.normal(size=(f, 3, h, w)).astype(np.float32)
+
+    with torch.no_grad():
+        moments = tv.quant_conv(tv.encoder(torch.from_numpy(img)))
+        mean_ref = moments.chunk(2, dim=1)[0].numpy()
+        z = torch.from_numpy(
+            rng.normal(size=(f, 4, h // 2, w // 2)).astype(np.float32))
+        dec_ref = tv.decoder(z, image_only_indicator=torch.zeros(1, f),
+                             num_frames=f).numpy()
+
+    sd = {k: v.numpy() for k, v in tv.state_dict().items()}
+    params = torch_to_flax(sd)
+    fv = AutoencoderKLTemporalDecoder(block_out_channels=(32, 64),
+                                      layers_per_block=2)
+    x = jnp.asarray(img.transpose(0, 2, 3, 1))
+    init = fv.init(jax.random.PRNGKey(0), x, 1)
+    assert_tree_match(params, init["params"])
+
+    mean = fv.apply({"params": params}, x, method="encode_mode")
+    np.testing.assert_allclose(np.asarray(mean).transpose(0, 3, 1, 2),
+                               mean_ref, rtol=2e-3, atol=2e-4)
+    dec = fv.apply({"params": params},
+                   jnp.asarray(np.asarray(z).transpose(0, 2, 3, 1)), f,
+                   method="decode")
+    np.testing.assert_allclose(np.asarray(dec).transpose(0, 3, 1, 2),
+                               dec_ref, rtol=2e-3, atol=5e-4)
