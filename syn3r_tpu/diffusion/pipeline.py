@@ -1,0 +1,270 @@
+"""Guided SVD video-completion pipelines (the reference's L3a layer).
+
+Re-implements ``model/SVD_2pass_prob_uncertain_post.py:418-859`` (the
+LLFF/DL3DV default) and ``model/SVD_2pass_prob_uncertain.py`` (DTU) as one
+jitted sampler:
+
+  inputs: start frame, 23 warped cond frames + end frame, latent-res
+  uncertainty masks, lambda_t schedule (SURVEY.md §2.3).
+
+  per denoise step, per direction (forward / time-flipped backward):
+    [post variant] gradient guidance — d(masked top-k MSE)/d(latents)
+    THROUGH the UNet (uncond slice), normalized grad/std*sqrt(sigma)*lr,
+    latents <- latents - grad; then a CFG (2x batch) UNet pass and a plain
+    Euler update (scheduler.step_interp).
+    [prob variant] CFG UNet pass + soft latent replacement
+    (scheduler.step_interp_prob_uncertain).
+  directions merged w*fwd + (1-w)*flip(bwd), w = linspace(1, 0, F).
+
+TPU-first deviations (documented, quality-neutral or better):
+  - the reference splits the guidance UNet pass into 4 overlapping spatial
+    tiles purely to fit VRAM (:726-779) and hard-stitches the gradients;
+    on TPU the gradient is computed FULL-FRAME in one vjp (the tiled
+    version is an approximation of exactly this). UNet remat bounds memory.
+  - the whole 100-step loop runs inside one jit (lax.fori_loop); the
+    CFG batch stays 2 per direction, matching the reference's execution
+    (and its batch-dependent temporal-context quirk) exactly.
+
+The reference's CLIP/VAE preprocessing (antialiased resize to 224,
+noise-augmented VAE encode, factor_s=5.6 cond-latent scaling, per-frame
+CFG scale linspace(1, 3)) is replicated in ``encode_conditioning``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models.clip import clip_normalize
+from ..utils.image import resize_antialiased
+from . import scheduler as S
+
+FACTOR_S = 5.6  # reference SVD_2pass_prob_uncertain_post.py:609
+
+
+@dataclasses.dataclass
+class SVDModels:
+    """Bundle of the three frozen networks (flax modules + params)."""
+    unet: object
+    unet_params: dict
+    vae: object
+    vae_params: dict
+    clip: object
+    clip_params: dict
+
+
+@dataclasses.dataclass
+class GuidedSVDConfig:
+    num_inference_steps: int = 100
+    num_frames: int = 25
+    min_guidance_scale: float = 1.0
+    max_guidance_scale: float = 3.0
+    fps: int = 7
+    motion_bucket_id: int = 127
+    noise_aug_strength: float = 0.02
+    guidance_lr: float = 0.02
+    decode_chunk_size: int = 8
+    variant: str = "post"            # "post" (LLFF/DL3DV) | "prob" (DTU)
+    latent_num: int = 1              # multi-latent averaging hook (:636)
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+
+class GuidedSVDPipeline:
+    """Functional pipeline; all heavy steps are jitted once per shape."""
+
+    def __init__(self, models: SVDModels, config: GuidedSVDConfig):
+        self.m = models
+        self.cfg = config
+        self.schedule = S.svd_schedule(config.num_inference_steps)
+
+    # ------------------------------------------------------------------
+    # conditioning encoders
+    # ------------------------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _clip_embed(self, image01: jnp.ndarray) -> jnp.ndarray:
+        """image01 (H, W, 3) in [0,1] -> CFG-stacked (2, 1, 1024):
+        row 0 zeros (uncond), row 1 the embedding. Matches the reference's
+        _encode_image: [-1,1] -> antialiased 224 resize -> [0,1] -> CLIP."""
+        x = image01 * 2.0 - 1.0
+        x = resize_antialiased(x, 224, 224)
+        x = (x + 1.0) / 2.0
+        x = clip_normalize(x)[None]
+        emb = self.m.clip.apply(self.m.clip_params,
+                                x.astype(self.cfg.compute_dtype))
+        emb = emb.astype(jnp.float32)[:, None, :]          # (1, 1, 1024)
+        return jnp.concatenate([jnp.zeros_like(emb), emb], axis=0)
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _vae_encode_mode(self, image01: jnp.ndarray,
+                         noise: jnp.ndarray) -> jnp.ndarray:
+        """(H, W, 3) [0,1] + image-space noise -> latent mode (h, w, 4)."""
+        x = image01 * 2.0 - 1.0 + self.cfg.noise_aug_strength * noise
+        return self.m.vae.apply(self.m.vae_params, x[None],
+                                method="encode_mode")[0]
+
+    def encode_conditioning(self, image_start, cond_images, image_end,
+                            key: jax.Array):
+        """Returns (clip_start (2,1,1024), clip_end, cond_latents
+        (F, h, w, 4) scaled by 1/factor_s, start/end latents (h, w, 4)).
+
+        cond_latents frame 0 is the start-image latent, frames 1..F-1 the 23
+        warped conds + end frame (reference :596-601). All images share ONE
+        noise-augmentation draw (reference draws a single ``noise``)."""
+        noise = jax.random.normal(key, image_start.shape, jnp.float32)
+        clip_start = self._clip_embed(image_start)
+        clip_end = self._clip_embed(image_end)
+        lat_start = self._vae_encode_mode(image_start, noise)
+        lat_end = self._vae_encode_mode(image_end, noise)
+        cond_lats = [lat_start]
+        for im in cond_images:
+            cond_lats.append(self._vae_encode_mode(im, noise))
+        cond_lats.append(lat_end)
+        cond = jnp.stack(cond_lats, axis=0) / FACTOR_S       # (F, h, w, 4)
+        return clip_start, clip_end, cond, lat_start, lat_end
+
+    # ------------------------------------------------------------------
+    # the denoising loop
+    # ------------------------------------------------------------------
+
+    def _added_time_ids(self, batch: int) -> jnp.ndarray:
+        row = jnp.asarray([[self.cfg.fps - 1, self.cfg.motion_bucket_id,
+                            self.cfg.noise_aug_strength]], jnp.float32)
+        return jnp.tile(row, (batch, 1))
+
+    def _unet(self, sample, t, ehs, tids):
+        dt = self.cfg.compute_dtype
+        out = self.m.unet.apply(self.m.unet_params, sample.astype(dt), t,
+                                ehs.astype(dt), tids)
+        return out.astype(jnp.float32)
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def denoise(self, noise_latents, clip_start, clip_end, cond_latents,
+                mask, lambda_ts):
+        """Run the full guided loop.
+
+        noise_latents: (latent_num, F, h, w, 4) standard normals;
+        cond_latents: (F, h, w, 4) (already /factor_s); mask: (F-2, h, w)
+        uncertainty; lambda_ts: (num_steps, F). Returns latents (F,h,w,4).
+        """
+        cfg = self.cfg
+        sch = self.schedule
+        f = cfg.num_frames
+        guidance = jnp.linspace(cfg.min_guidance_scale,
+                                cfg.max_guidance_scale, f)[:, None, None, None]
+        weight_fw = jnp.linspace(1.0, 0.0, f)[:, None, None, None]
+        tids1 = self._added_time_ids(1)
+        tids2 = self._added_time_ids(2)
+        unet_remat = jax.checkpoint(self._unet, static_argnums=())
+
+        lat_start_f = jnp.repeat(cond_latents[:1] * FACTOR_S, f, axis=0)
+        lat_end_f = jnp.repeat(cond_latents[-1:] * FACTOR_S, f, axis=0)
+
+        def direction_step(latents, step_i, clip_emb, cond, msk, lam,
+                           img_lat):
+            t = sch.timesteps[step_i]
+            sigma = sch.sigmas[step_i]
+
+            if cfg.variant == "post":
+                # -- gradient guidance (uncond slice, grad through UNet) --
+                def gloss(lat):
+                    scaled = S.scale_model_input(sch, lat, step_i)
+                    # uncond slice: zero CLIP embedding, zero image latents
+                    inp = jnp.concatenate(
+                        [scaled, jnp.zeros_like(img_lat)], axis=-1)[None]
+                    eps = unet_remat(inp, t, jnp.zeros_like(clip_emb[:1]),
+                                     tids1)[0]
+                    x0 = S.pred_original_sample(eps, lat, sigma)
+                    tm = jax.lax.stop_gradient(
+                        S.top_k_masks(x0.transpose(0, 3, 1, 2),
+                                      cond.transpose(0, 3, 1, 2),
+                                      msk, lam[step_i]))
+                    return S.guidance_loss(x0.transpose(0, 3, 1, 2),
+                                           cond.transpose(0, 3, 1, 2), tm)
+
+                grad = jax.grad(gloss)(latents)
+                grad = S.normalize_guidance_grad(grad, sigma,
+                                                 lr=cfg.guidance_lr)
+                latents = latents - grad
+
+            # -- CFG pass + Euler / soft-replacement update ----------------
+            scaled = S.scale_model_input(sch, latents, step_i)
+            inp = jnp.stack([
+                jnp.concatenate([scaled, jnp.zeros_like(img_lat)], axis=-1),
+                jnp.concatenate([scaled, img_lat], axis=-1)], axis=0)
+            eps = self._unet(inp, t, clip_emb, tids2)
+            eps = eps[0] + guidance * (eps[1] - eps[0])
+
+            if cfg.variant == "post":
+                prev, _ = S.step_interp(sch, eps, latents, step_i)
+            else:
+                prev, _ = S.step_interp_prob_uncertain(
+                    sch, eps.transpose(0, 3, 1, 2),
+                    latents.transpose(0, 3, 1, 2), step_i,
+                    cond.transpose(0, 3, 1, 2), msk, lam)
+                prev = prev.transpose(0, 2, 3, 1)
+            return prev
+
+        cond_fw = cond_latents
+        cond_bw = jnp.flip(cond_latents, axis=0)
+        mask_bw = jnp.flip(mask, axis=0)
+        lam_bw = jnp.flip(lambda_ts, axis=1)
+
+        def one_latent(latents0):
+            def body(step_i, latents):
+                fwd = direction_step(latents, step_i, clip_start, cond_fw,
+                                     mask, lambda_ts, lat_start_f)
+                bwd = direction_step(jnp.flip(latents, 0), step_i, clip_end,
+                                     cond_bw, mask_bw, lam_bw, lat_end_f)
+                return weight_fw * fwd + (1 - weight_fw) * jnp.flip(bwd, 0)
+
+            return jax.lax.fori_loop(0, cfg.num_inference_steps, body,
+                                     latents0)
+
+        init = noise_latents * sch.init_noise_sigma
+        outs = jax.lax.map(one_latent, init)
+        return outs.mean(axis=0)
+
+    # ------------------------------------------------------------------
+    # decode
+    # ------------------------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def decode(self, latents: jnp.ndarray) -> jnp.ndarray:
+        """(F, h, w, 4) -> (F, H, W, 3) in [0, 1], chunked temporal decode
+        (reference decode_latents, chunks of decode_chunk_size)."""
+        cfg = self.cfg
+        z = latents / 0.18215
+        f = z.shape[0]
+        c = cfg.decode_chunk_size
+        frames = []
+        for i in range(0, f, c):
+            chunk = z[i:i + c]
+            dec = self.m.vae.apply(self.m.vae_params,
+                                   chunk.astype(jnp.float32),
+                                   chunk.shape[0], method="decode")
+            frames.append(dec)
+        out = jnp.concatenate(frames, axis=0)
+        return jnp.clip(out * 0.5 + 0.5, 0.0, 1.0)
+
+    # ------------------------------------------------------------------
+
+    def __call__(self, image_start, cond_images, image_end, mask, lambda_ts,
+                 key: jax.Array, latents: Optional[jnp.ndarray] = None):
+        """Full pipeline. Images (H, W, 3) in [0,1] at the SVD working
+        resolution; mask (F-2, h, w) latent-res uncertainty; lambda_ts
+        (num_steps, F). Returns (F, H, W, 3) frames in [0, 1]."""
+        cfg = self.cfg
+        k_noise, k_lat = jax.random.split(key)
+        clip_s, clip_e, cond, _, _ = self.encode_conditioning(
+            image_start, cond_images, image_end, k_noise)
+        h, w = cond.shape[1:3]
+        if latents is None:
+            latents = jax.random.normal(
+                k_lat, (cfg.latent_num, cfg.num_frames, h, w, 4))
+        out = self.denoise(latents, clip_s, clip_e, cond, mask, lambda_ts)
+        return self.decode(out)

@@ -1,0 +1,217 @@
+"""Conditioning preparation for guided video completion.
+
+The geometry/uncertainty half of the reference's densify path
+(``model/diffusionGS.py:774-923`` — the live ``_interpolate_between_gs_v3``):
+
+  - pose interpolation between endpoint cameras (+ optional perturbation
+    selecting max-uncertainty candidates, :653-766);
+  - backward warping of the endpoint renders to every interpolated pose
+    using the GS-rendered target depth (``warp_images_bw``, :1367-1510);
+  - uncertainty fusion: geometric (soft cycle-reprojection) x intensity
+    confidence exp(-(|warped - rendered|/0.5)^3), holes zeroed (:821-847);
+  - cond-image fallback to the GS render where uncertainty > 0.5 (:862);
+  - latent-resolution masks via 8x8 block means (:851-857);
+  - the lambda_t schedule (``search_hypers_v2``, :1120-1205).
+
+Everything is pure JAX on (H, W, 3) [0,1] images; the caller supplies a
+render function pose -> (rgb, depth) at the diffusion resolution.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.warp import dilate_mask, downsample_mask_to_latent, inverse_warp
+from ..utils import se3
+
+
+def quad_tau(u: jnp.ndarray, a: float = -0.22 / 1.4,
+             b: float = 2.4 * 0.22 / 1.4, c: float = 0.2) -> jnp.ndarray:
+    """Per-frame guidance-stop threshold (reference :1128-1130)."""
+    return (a * u ** 2 + b * u + c) * 100.0
+
+
+def search_hypers_v2(masks: jnp.ndarray, num_steps: int = 100,
+                     mode: str = "double_end") -> jnp.ndarray:
+    """Build the lambda in {0,1}^(num_steps x F) schedule from per-frame
+    uncertainty masks (reference :1120-1205).
+
+    masks: (F-2, h, w) for 'double_end' or (F-1, h, w) for 'single_end'.
+    Frame tau keeps lambda=1 while num_steps - t > quad_tau(u_tau).
+    """
+    u = masks.mean(axis=(-1, -2))
+    u = jnp.clip(u / jnp.maximum(u.max(), 0.5), 0.0, 1.0)
+    if mode == "double_end":
+        u = jnp.concatenate([jnp.zeros((1,)), u, jnp.zeros((1,))])
+    elif mode == "single_end":
+        u = jnp.concatenate([jnp.zeros((1,)), u])
+    else:
+        raise ValueError(mode)
+    f = u.shape[0]
+    steps = jnp.arange(num_steps, dtype=jnp.float32)[:, None]    # (S, 1)
+    thresh = quad_tau(u)[None, :]                                # (1, F)
+    lam = (num_steps - steps > thresh).astype(jnp.float32)
+    # endpoint frames (and frame 0 for single_end) always guided
+    lam = lam.at[:, 0].set(1.0)
+    if mode == "double_end":
+        lam = lam.at[:, -1].set(1.0)
+    return lam
+
+
+def intensity_confidence(warped: jnp.ndarray, rendered: jnp.ndarray,
+                         hole_mask: jnp.ndarray,
+                         sigma: float = 0.5) -> jnp.ndarray:
+    """exp(-(||warped - rendered||/sigma)^3) with holes zeroed
+    (reference get_intensity_confidence, :821-830). Shapes (..., H, W, 3);
+    hole_mask (..., H, W, 1) with 1 at holes. Returns (..., H, W, 1)."""
+    d = jnp.linalg.norm(warped - rendered, axis=-1, keepdims=True)
+    return jnp.exp(-((d / sigma) ** 3)) * (1.0 - hole_mask)
+
+
+class PairConditioning(NamedTuple):
+    image_start: jnp.ndarray      # (H, W, 3)
+    image_end: jnp.ndarray        # (H, W, 3)
+    cond_images: jnp.ndarray      # (F-2, H, W, 3)
+    masks: jnp.ndarray            # (F-2, lh, lw) float uncertainty
+    lambda_ts: jnp.ndarray        # (num_steps, F)
+
+
+def prepare_pair_conditioning(
+        render_fn: Callable[[jnp.ndarray], tuple[jnp.ndarray, jnp.ndarray]],
+        K: jnp.ndarray, poses: jnp.ndarray,
+        image_l: jnp.ndarray, depth_l: jnp.ndarray,
+        image_r: jnp.ndarray, depth_r: jnp.ndarray,
+        num_steps: int = 100, variant: str = "prob",
+        latent_downsample: int = 8) -> PairConditioning:
+    """Build SVD conditioning for one endpoint pair.
+
+    render_fn(pose 4x4 w2c) -> (rgb (H, W, 3), depth (H, W)) — the GS render
+    at the diffusion resolution. poses: (F, 4, 4) interpolated w2c chain
+    (endpoints included). Source endpoint for warping: left for interior
+    index < 12, right otherwise (reference :1416-1424).
+    """
+    f = poses.shape[0]
+    h, w = image_l.shape[:2]
+    lh, lw = h // latent_downsample, w // latent_downsample
+
+    conds, masks = [], []
+    for i in range(1, f - 1):
+        use_left = (i - 1) < 12
+        src_img = image_l if use_left else image_r
+        src_depth = depth_l if use_left else depth_r
+        src_pose = poses[0] if use_left else poses[-1]
+
+        rendered, rendered_depth = render_fn(poses[i])
+        wres = inverse_warp(src_img, src_depth, rendered_depth, src_pose,
+                            poses[i], K)
+
+        # hard mask path (used by the non-prob variant and debug artifacts)
+        hard = dilate_mask(~wres.mask_reproj, 5)
+
+        if variant == "prob":
+            warped = wres.warped_img
+            hole = (warped.sum(-1, keepdims=True) <= 0).astype(jnp.float32)
+            inten_conf = intensity_confidence(warped, rendered, hole)
+            reproj_uncert = 1.0 - wres.soft_mask_reproj
+            conf = inten_conf * (1.0 - reproj_uncert[..., None])
+            uncert = 1.0 - conf                              # (H, W, 1)
+            mask_lat = downsample_mask_to_latent(uncert[..., 0], lh, lw)
+            cond = jnp.where(uncert > 0.5, rendered, warped)
+        else:
+            mask_lat = downsample_mask_to_latent(
+                hard.astype(jnp.float32), lh, lw)
+            mask_lat = (mask_lat >= 0.2).astype(jnp.float32)
+            cond = wres.warped_img * (1.0 - hard[..., None])
+
+        conds.append(jnp.clip(cond, 0.0, 1.0))
+        masks.append(mask_lat)
+
+    cond_images = jnp.stack(conds)
+    masks = jnp.stack(masks)
+    lam = search_hypers_v2(masks, num_steps=num_steps)
+    return PairConditioning(image_start=image_l, image_end=image_r,
+                            cond_images=cond_images, masks=masks,
+                            lambda_ts=lam)
+
+
+# ---------------------------------------------------------------------------
+# pose utilities (host-side, numpy + jax warps)
+# ---------------------------------------------------------------------------
+
+def interpolate_pair_poses(pose_l: np.ndarray, pose_r: np.ndarray,
+                           num: int = 25) -> np.ndarray:
+    return np.asarray(se3.interpolate_poses(jnp.asarray(pose_l),
+                                            jnp.asarray(pose_r), num))
+
+
+def split_point(poses: Sequence[np.ndarray]) -> int:
+    """Index minimizing summed distances to the respective endpoints
+    (reference compute_dists, :1237-1296) — grid search replaces scipy."""
+    pts = np.asarray([p[:3, 3] for p in poses])
+    n = len(pts)
+    best, best_cost = 1, np.inf
+    for idx in range(1, n - 1):
+        cost = (np.linalg.norm(pts[:idx] - pts[0], axis=1).sum()
+                + np.linalg.norm(pts[idx:] - pts[-1], axis=1).sum())
+        if cost < best_cost:
+            best, best_cost = idx, cost
+    return best
+
+
+def normalized_endpoint_dists(poses: Sequence[np.ndarray]) -> np.ndarray:
+    idx = split_point(poses)
+    pts = np.asarray([p[:3, 3] for p in poses])
+    diff = np.where(np.arange(len(pts))[:, None] < idx, pts - pts[0],
+                    pts - pts[-1])
+    d = np.linalg.norm(diff, axis=1)
+    return d / max(d.max(), 1e-12)
+
+
+def perturb_and_select_poses(
+        render_fn, K: jnp.ndarray, anchor_poses: np.ndarray,
+        ref_poses: Sequence[np.ndarray], rng: np.random.Generator,
+        perturb_num: int = 5, trans_frac: float = 0.1,
+        rot_std_deg: float = 0.1) -> np.ndarray:
+    """Jitter each anchor pose and keep the candidate whose backward warp
+    from the nearest reference view is MOST uncertain — probing where the
+    model needs completion (reference :653-766)."""
+    anchors = np.asarray(anchor_poses)
+    trans = anchors[:, :3, 3]
+    dists = np.linalg.norm(trans[:, None] - trans[None], axis=-1)
+    np.fill_diagonal(dists, dists.max() if len(anchors) > 1 else 1.0)
+    nn_dist = dists.min(axis=1)
+
+    ref_renders = [render_fn(jnp.asarray(p)) for p in ref_poses]
+    ref_pts = np.asarray([p[:3, 3] for p in ref_poses])
+
+    out = []
+    for i, pose in enumerate(anchors):
+        candidates = [pose.astype(np.float32)]
+        for _ in range(perturb_num):
+            p = pose.copy()
+            p[:3, 3] += rng.normal(0, nn_dist[i] * trans_frac, 3)
+            ang = np.radians(rng.normal(0, rot_std_deg, 3))
+            # xyz euler rotation noise composed with the original
+            cx, cy, cz = np.cos(ang)
+            sx, sy, sz = np.sin(ang)
+            rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+            ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+            rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+            p[:3, :3] = (rz @ ry @ rx) @ pose[:3, :3]
+            candidates.append(p.astype(np.float32))
+
+        scores = []
+        for cand in candidates:
+            nn = int(np.linalg.norm(ref_pts - cand[:3, 3], axis=1).argmin())
+            ref_img, ref_depth = ref_renders[nn]
+            _, cand_depth = render_fn(jnp.asarray(cand))
+            wres = inverse_warp(ref_img, ref_depth, cand_depth,
+                                jnp.asarray(ref_poses[nn]),
+                                jnp.asarray(cand), K)
+            scores.append(float((1.0 - wres.soft_mask_reproj).mean()))
+        out.append(candidates[int(np.argmax(scores))])
+    return np.stack(out)

@@ -1,0 +1,201 @@
+"""The refine-cycle orchestrator — the reference's ``DiffusionGS``
+(``model/diffusionGS.py:38-1699``) rebuilt on the TPU-native stack.
+
+One refine cycle (reference run(), :1668-1697):
+  init_GS (3DGS fit on the input views) -> densify_views (per adjacent view
+  pair: render endpoints, interpolate 25 poses, backward-warp conditioning,
+  lambda schedule, guided SVD completion) -> optional gaussians reset from a
+  densified point cloud -> refine_GS (finetune on input + confidence-
+  weighted pseudo views). Two cycles by default.
+
+Completion results are cached per (cycle, pair) like the reference's
+``dense_views/interpolated_dense_views_cyc{c}_view{i}.pt`` files (here
+.npz), so interrupted runs resume.
+
+The diffusion step is pluggable: a GuidedSVDPipeline (with converted SVD
+weights) or any callable with its signature — tests and weightless
+environments use a warp-only completion.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..gs.trainer import GSTrainer
+from ..utils.camera import Camera, make_camera
+from ..utils.image import resize_bilinear
+from . import completion as C
+
+
+@dataclasses.dataclass
+class DiffusionGSConfig:
+    diffusion_width: int = 1024
+    diffusion_height: int = 576
+    num_frames: int = 25
+    num_inference_steps: int = 100
+    refine_cycle_num: int = 2
+    cam_confidence: float = 0.05
+    refine_epoch: int = 1
+    disable_densification: bool = False
+    pseudo_cam_sampling_rate: float = 0.02
+    perturb_interp_poses: bool = True
+    variant: str = "prob"            # uncertainty-fused conditioning
+    replace_endpoints: bool = True
+    seed: int = 0
+
+
+class DiffusionGS:
+    """Test-time NVS loop: alternate 3DGS fitting and guided completion."""
+
+    def __init__(self, trainer: GSTrainer, config: DiffusionGSConfig,
+                 completion_fn: Optional[Callable] = None,
+                 save_dir: Optional[str] = None):
+        """completion_fn(image_start, cond_images, image_end, mask,
+        lambda_ts, key) -> (F, H, W, 3) frames — a GuidedSVDPipeline or a
+        stand-in."""
+        self.trainer = trainer
+        self.cfg = config
+        self.completion_fn = completion_fn or self._warp_only_completion
+        self.save_dir = save_dir or os.path.join(trainer.model_path,
+                                                 "dense_views")
+        os.makedirs(self.save_dir, exist_ok=True)
+        self._rng = np.random.default_rng(config.seed)
+
+        # cache GS intrinsics/resolution from camera 0 and derive the
+        # diffusion-resolution intrinsics (reference :67-73)
+        cam0: Camera = jax.tree.map(lambda x: x[0],
+                                    trainer.train_views.cameras)
+        self.gs_width, self.gs_height = (trainer.train_views.images.shape[2],
+                                         trainer.train_views.images.shape[1])
+        sx = config.diffusion_width / self.gs_width
+        sy = config.diffusion_height / self.gs_height
+        K = np.asarray(cam0.K)
+        self.diffusion_K = jnp.asarray(
+            [[K[0, 0] * sx, 0.0, K[0, 2] * sx],
+             [0.0, K[1, 1] * sy, K[1, 2] * sy],
+             [0.0, 0.0, 1.0]], jnp.float32)
+
+    # ------------------------------------------------------------------
+
+    def _warp_only_completion(self, image_start, cond_images, image_end,
+                              mask, lambda_ts, key):
+        """Diffusion-free fallback: the warped/GS-filled cond images ARE the
+        pseudo frames. Lets the full refine loop run without SVD weights
+        (and doubles as the no-diffusion ablation)."""
+        del mask, lambda_ts, key
+        return jnp.concatenate([image_start[None], cond_images,
+                                image_end[None]], axis=0)
+
+    def render_diffusion_res(self, pose: jnp.ndarray):
+        """Render an arbitrary w2c pose at the diffusion resolution
+        (reference render_GS + cv2 resizes, :142-175, :800-805)."""
+        cfg = self.cfg
+        cam = make_camera(self.diffusion_K, pose, cfg.diffusion_width,
+                          cfg.diffusion_height)
+        out = self.trainer.render_view(cam)
+        return out["render"], out["depth"]
+
+    def _ordered_train_indices(self) -> list[int]:
+        from ..gs.trainer import order_cameras_tsp
+        return order_cameras_tsp(self.trainer.train_views.cameras)
+
+    # ------------------------------------------------------------------
+
+    def init_GS(self, cycle: int = 0, log_every: int = 0):
+        return self.trainer.training(0, epoch_indicator=cycle,
+                                     log_every=log_every)
+
+    def densify_views(self, cycle: int, log_every: int = 0):
+        """Per adjacent (TSP-ordered) view pair: interpolate poses, build
+        conditioning, run completion; returns (frames (P, F, Hgs, Wgs, 3),
+        poses (P, F, 4, 4)) with per-pair caching."""
+        cfg = self.cfg
+        order = self._ordered_train_indices()
+        cams = self.trainer.train_views.cameras
+        all_frames, all_poses = [], []
+
+        for pi in range(len(order) - 1):
+            cache = os.path.join(
+                self.save_dir,
+                f"interpolated_dense_views_cyc{cycle}_view{pi}.npz")
+            if os.path.exists(cache):
+                data = np.load(cache)
+                all_frames.append(jnp.asarray(data["frames"]))
+                all_poses.append(jnp.asarray(data["poses"]))
+                continue
+
+            i, j = order[pi], order[pi + 1]
+            pose_l = np.asarray(cams.w2c[i])
+            pose_r = np.asarray(cams.w2c[j])
+            poses = C.interpolate_pair_poses(pose_l, pose_r, cfg.num_frames)
+            if cfg.perturb_interp_poses and cfg.num_frames > 2:
+                interior = C.perturb_and_select_poses(
+                    self.render_diffusion_res, self.diffusion_K,
+                    poses[1:-1], [pose_l, pose_r], self._rng)
+                poses = np.concatenate([poses[:1], interior, poses[-1:]])
+            poses_j = jnp.asarray(poses)
+
+            img_l, depth_l = self.render_diffusion_res(poses_j[0])
+            img_r, depth_r = self.render_diffusion_res(poses_j[-1])
+            cond = C.prepare_pair_conditioning(
+                self.render_diffusion_res, self.diffusion_K, poses_j,
+                img_l, depth_l, img_r, depth_r,
+                num_steps=cfg.num_inference_steps, variant=cfg.variant)
+
+            key = jax.random.PRNGKey(cfg.seed + 1000 * cycle + pi)
+            frames = self.completion_fn(cond.image_start, cond.cond_images,
+                                        cond.image_end, cond.masks,
+                                        cond.lambda_ts, key)
+            if cfg.replace_endpoints:
+                frames = frames.at[0].set(cond.image_start)
+                frames = frames.at[-1].set(cond.image_end)
+            # resize to GS training resolution (reference :915-917)
+            frames = jax.vmap(
+                lambda f: resize_bilinear(f, self.gs_height, self.gs_width,
+                                          antialias=False))(frames)
+            np.savez(cache, frames=np.asarray(frames), poses=poses)
+            all_frames.append(frames)
+            all_poses.append(poses_j)
+            if log_every:
+                print(f"[densify] cycle {cycle} pair {pi} done")
+
+        return jnp.stack(all_frames), jnp.stack(all_poses)
+
+    def refine_GS(self, frames, poses, cycle: int, load_ckpt: bool = False,
+                  log_every: int = 0):
+        """Install pseudo views and finetune (reference :1610-1645)."""
+        cfg = self.cfg
+        tr = self.trainer
+        if load_ckpt:
+            ckpt = tr.latest_checkpoint()
+            if ckpt:
+                tr.load_checkpoint(ckpt)
+        p, f = frames.shape[:2]
+        flat_frames = np.asarray(frames).reshape(p * f, *frames.shape[2:])
+        flat_poses = np.asarray(poses).reshape(p * f, 4, 4)
+        K_gs = np.asarray(jax.tree.map(lambda x: x[0],
+                                       tr.train_views.cameras).K)
+        tr.update_cameras(flat_frames, flat_poses, K_gs,
+                          cam_confidences=cfg.cam_confidence, append=False)
+        tr.reset_optimizers()
+        tr.reset_gs()
+        return tr.finetune(
+            0, cycle, disable_densification=cfg.disable_densification,
+            pseudo_cam_sampling_rate=cfg.pseudo_cam_sampling_rate,
+            log_every=log_every)
+
+    def run(self, refine_cycles: Optional[int] = None, log_every: int = 0):
+        """The full test-time loop (reference run(), :1668-1697)."""
+        cycles = refine_cycles or self.cfg.refine_cycle_num
+        self.init_GS(0, log_every=log_every)
+        for cyc in range(cycles):
+            frames, poses = self.densify_views(cyc, log_every=log_every)
+            self.refine_GS(frames, poses, cycle=cyc, load_ckpt=(cyc > 0),
+                           log_every=log_every)
+        return self.trainer

@@ -16,6 +16,9 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 # are not honored on this jax version; set via config (after env above).
 import jax  # noqa: E402
 
+# The env var JAX_PLATFORMS is ignored on this jax build (the axon TPU
+# plugin wins); the config update is authoritative.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 # This XLA:CPU build honors the TPU-style default (reduced) matmul
 # precision; golden-parity tests need exact f32. Production TPU compute

@@ -1,0 +1,109 @@
+"""End-to-end refine-cycle test: synthetic 3-view scene, warp-only
+completion (no SVD weights needed), one full DiffusionGS.run cycle."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from syn3r_tpu.gs.trainer import GSTrainer, TrainConfig, make_viewset
+from syn3r_tpu.models import gaussians as G
+from syn3r_tpu.ops.rasterize import render
+from syn3r_tpu.pipeline import completion as C
+from syn3r_tpu.pipeline.orchestrator import DiffusionGS, DiffusionGSConfig
+from syn3r_tpu.utils.camera import camera_from_fov, look_at_w2c
+
+
+def _scene(n_views=3, w=64, h=48):
+    rng = np.random.default_rng(0)
+    n = 120
+    xyz = np.concatenate([rng.uniform(-0.8, 0.8, (n, 2)),
+                          rng.uniform(1.8, 2.6, (n, 1))], 1).astype(np.float32)
+    rgb = rng.uniform(0.1, 0.9, (n, 3)).astype(np.float32)
+    gt = G.from_points(jnp.asarray(xyz), jnp.asarray(rgb), capacity=128)
+    gt = gt.replace(log_scales=gt.log_scales + 0.7,
+                    opacity_logits=jnp.where(gt.active[:, None], 2.0, -100.0))
+    cams, imgs = [], []
+    for i in range(n_views):
+        eye = jnp.asarray([0.3 * (i - 1), 0.02 * i, 0.0])
+        cam = camera_from_fov(0.9, 0.7, w, h,
+                              look_at_w2c(eye, jnp.asarray([0., 0., 2.2])))
+        cams.append(cam)
+        imgs.append(np.asarray(render(gt, cam, chunk=64, group=1).rgb))
+    return cams, np.stack(imgs), xyz
+
+
+def test_search_hypers_v2_schedule():
+    masks = jnp.zeros((3, 8, 8)).at[1].set(1.0)  # middle frame uncertain
+    lam = np.asarray(C.search_hypers_v2(masks, num_steps=10))
+    assert lam.shape == (10, 5)
+    np.testing.assert_allclose(lam[:, 0], 1.0)   # endpoints always guided
+    np.testing.assert_allclose(lam[:, -1], 1.0)
+    # certain frame (u=0): threshold quad_tau(0)=20 -> lambda=1 while
+    # 10 - t > 20 -> never... with 10 steps all zero
+    assert lam[:, 1].sum() == 0
+    # uncertain frame (u=1): quad_tau(1)=(a+b+c)*100 ≈ 37.7 -> also 0 at
+    # 10 steps; with more steps the uncertain frame stops being guided
+    # EARLIER (smaller threshold crossing) than certain frames
+    lam100 = np.asarray(C.search_hypers_v2(masks, num_steps=100))
+    t_certain = lam100[:, 1].sum()    # steps guided for certain frame
+    t_uncertain = lam100[:, 2].sum()
+    assert t_certain > t_uncertain > 0
+
+
+def test_prepare_pair_conditioning_shapes():
+    cams, imgs, xyz = _scene()
+    gt = G.from_points(jnp.asarray(xyz),
+                       jnp.asarray(np.full_like(xyz, 0.5)), capacity=128)
+
+    def render_fn(pose):
+        from syn3r_tpu.utils.camera import make_camera
+        cam = make_camera(np.asarray(cams[0].K), pose, 64, 48)
+        out = render(gt, cam, chunk=64, group=1)
+        alpha = out.alpha
+        depth = jnp.where(alpha > 1e-6, out.depth / jnp.maximum(alpha, 1e-6),
+                          0.0)
+        return out.rgb, depth
+
+    poses = C.interpolate_pair_poses(np.asarray(cams[0].w2c),
+                                     np.asarray(cams[1].w2c), 9)
+    img_l, depth_l = render_fn(jnp.asarray(poses[0]))
+    img_r, depth_r = render_fn(jnp.asarray(poses[-1]))
+    cond = C.prepare_pair_conditioning(render_fn, cams[0].K,
+                                       jnp.asarray(poses), img_l, depth_l,
+                                       img_r, depth_r, num_steps=10,
+                                       latent_downsample=8)
+    assert cond.cond_images.shape == (7, 48, 64, 3)
+    assert cond.masks.shape == (7, 6, 8)
+    assert cond.lambda_ts.shape == (10, 9)
+    assert np.isfinite(np.asarray(cond.cond_images)).all()
+    m = np.asarray(cond.masks)
+    assert (0 <= m).all() and (m <= 1).all()
+
+
+def test_full_refine_cycle(tmp_path):
+    cams, imgs, xyz = _scene()
+    views = make_viewset(cams, imgs)
+    rng = np.random.default_rng(1)
+    init = G.from_points(
+        jnp.asarray(xyz + rng.normal(0, 0.02, xyz.shape).astype(np.float32)),
+        jnp.asarray(np.full_like(xyz, 0.5)), capacity=128)
+    cfg = TrainConfig(iterations=40, densify_from_iter=10 ** 9, chunk=64,
+                      group=1, start_sample_svd_iter=10,
+                      sample_svd_pseudo_interval=2)
+    tr = GSTrainer(views, cfg, init, model_path=str(tmp_path))
+    dcfg = DiffusionGSConfig(diffusion_width=64, diffusion_height=48,
+                             num_frames=5, num_inference_steps=10,
+                             refine_cycle_num=1, perturb_interp_poses=False)
+    runner = DiffusionGS(tr, dcfg, save_dir=str(tmp_path / "dense"))
+    runner.run(refine_cycles=1)
+    # pseudo views installed with the configured confidence
+    assert tr.pseudo_views is not None
+    assert len(tr.pseudo_views) == 2 * 5  # (n_views-1) pairs x frames
+    np.testing.assert_allclose(
+        np.asarray(tr.pseudo_views.cameras.confidence), 0.05)
+    # caches written and reusable
+    import os
+    assert len(os.listdir(tmp_path / "dense")) == 2
+    frames, poses = runner.densify_views(0)     # second call: cache hit
+    assert frames.shape == (2, 5, 48, 64, 3)
+    # checkpoints with reference naming
+    assert tr.latest_checkpoint() is not None

@@ -1,0 +1,79 @@
+"""End-to-end smoke tests of the guided SVD pipeline at tiny config."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from syn3r_tpu.diffusion.pipeline import (GuidedSVDConfig, GuidedSVDPipeline,
+                                          SVDModels)
+from syn3r_tpu.models.clip import CLIPVisionModelWithProjection
+from syn3r_tpu.models.svd_unet import UNetSpatioTemporalConditionModel
+from syn3r_tpu.models.vae import AutoencoderKLTemporalDecoder
+
+F, H, W = 5, 32, 64
+# tiny VAE has 3 levels -> 4x spatial downsample
+LH, LW = H // 4, W // 4
+STEPS = 3
+
+
+@pytest.fixture(scope="module")
+def tiny_models():
+    rng = jax.random.PRNGKey(0)
+    unet = UNetSpatioTemporalConditionModel(
+        block_out_channels=(32, 64), num_attention_heads=(2, 4),
+        layers_per_block=1, addition_time_embed_dim=32)
+    vae = AutoencoderKLTemporalDecoder(block_out_channels=(32, 32, 32),
+                                       layers_per_block=1)
+    clip = CLIPVisionModelWithProjection(hidden=64, layers=2, heads=4,
+                                         mlp_dim=128, patch=32,
+                                         image_size=224, projection_dim=1024)
+    lh, lw = LH, LW
+    up = jax.jit(lambda k: unet.init(
+        k, jnp.zeros((1, F, lh, lw, 8)), 1.0, jnp.zeros((1, 1, 1024)),
+        jnp.zeros((1, 3))))(rng)
+    vp = jax.jit(lambda k: vae.init(k, jnp.zeros((1, H, W, 3)), 1))(rng)
+    cp = jax.jit(lambda k: clip.init(k, jnp.zeros((1, 224, 224, 3))))(rng)
+    return SVDModels(unet=unet, unet_params=up, vae=vae, vae_params=vp,
+                     clip=clip, clip_params=cp)
+
+
+@pytest.mark.parametrize("variant", ["post", "prob"])
+def test_pipeline_end_to_end(tiny_models, variant):
+    cfg = GuidedSVDConfig(num_inference_steps=STEPS, num_frames=F,
+                          variant=variant, decode_chunk_size=4,
+                          compute_dtype=jnp.float32)
+    pipe = GuidedSVDPipeline(tiny_models, cfg)
+    rng = np.random.default_rng(0)
+    start = jnp.asarray(rng.uniform(size=(H, W, 3)).astype(np.float32))
+    end = jnp.asarray(rng.uniform(size=(H, W, 3)).astype(np.float32))
+    conds = [jnp.asarray(rng.uniform(size=(H, W, 3)).astype(np.float32))
+             for _ in range(F - 2)]
+    lh, lw = LH, LW
+    mask = jnp.asarray(rng.uniform(size=(F - 2, lh, lw)).astype(np.float32))
+    lambda_ts = jnp.asarray(
+        (rng.uniform(size=(STEPS, F)) > 0.4).astype(np.float32))
+
+    frames = pipe(start, conds, end, mask, lambda_ts, jax.random.PRNGKey(1))
+    assert frames.shape == (F, H, W, 3)
+    arr = np.asarray(frames)
+    assert np.isfinite(arr).all()
+    assert 0.0 <= arr.min() and arr.max() <= 1.0
+    # pipeline must not be a constant map: frames differ across time
+    assert np.abs(arr[0] - arr[-1]).max() > 1e-5
+
+
+def test_encode_conditioning_shapes(tiny_models):
+    cfg = GuidedSVDConfig(num_inference_steps=STEPS, num_frames=F,
+                          compute_dtype=jnp.float32)
+    pipe = GuidedSVDPipeline(tiny_models, cfg)
+    rng = np.random.default_rng(1)
+    imgs = [jnp.asarray(rng.uniform(size=(H, W, 3)).astype(np.float32))
+            for _ in range(F)]
+    clip_s, clip_e, cond, ls, le = pipe.encode_conditioning(
+        imgs[0], imgs[1:-1], imgs[-1], jax.random.PRNGKey(0))
+    assert clip_s.shape == (2, 1, 1024)
+    assert np.allclose(np.asarray(clip_s[0]), 0.0)  # uncond row zeros
+    assert cond.shape == (F, LH, LW, 4)
+    # frame 0 of cond latents is the start latent / factor_s
+    np.testing.assert_allclose(np.asarray(cond[0]),
+                               np.asarray(ls) / 5.6, rtol=1e-5)

@@ -87,9 +87,9 @@ def test_chunk_boundaries_consistent():
     a = rz.render(st, cam, chunk=8, group=2)
     b = rz.render(st, cam, chunk=64, group=1)
     np.testing.assert_allclose(np.asarray(a.rgb), np.asarray(b.rgb),
-                               atol=1e-5)
+                               atol=5e-5)  # f32: chunking changes acc order
     np.testing.assert_allclose(np.asarray(a.alpha), np.asarray(b.alpha),
-                               atol=1e-5)
+                               atol=5e-5)
 
 
 def test_gradients_match_finite_difference():
