@@ -1,0 +1,139 @@
+"""Training entry point — the reference's ``scripts/train.py`` surface.
+
+Per-scene test-time optimization: load a COLMAP scene, fit 3DGS, run the
+refine-cycle loop with guided SVD completion (or the warp-only fallback
+when no SVD weights are available).
+
+Flags mirror the reference CLI (scripts/train.py:28-70) plus the GS
+optimization knobs its FSGS fork adds (visible in bash_scripts, SURVEY.md
+§2.4)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("syn3r-tpu train")
+    # scene / IO
+    p.add_argument("--source_path", "-s", required=True)
+    p.add_argument("--model_path", "-m", required=True)
+    p.add_argument("--images", default="images")
+    p.add_argument("--resolution", "-r", type=int, default=1)
+    p.add_argument("--n_views", type=int, default=3)
+    p.add_argument("--llffhold", type=int, default=8)
+    p.add_argument("--rand_pcd", action="store_true")
+    # diffusion / refine loop (reference scripts/train.py:28-70)
+    p.add_argument("--diffusion_type", default="2PassProbUncertainPost",
+                   choices=["2PassProbUncertain", "2PassProbUncertainPost"])
+    p.add_argument("--densify_type", default="interpolate_gs_v2")
+    p.add_argument("--interp_type", default="backward_warp")
+    p.add_argument("--refine_cycle_num", type=int, default=2)
+    p.add_argument("--refine_epoch", type=int, default=1)
+    p.add_argument("--cam_confidence", type=float, default=0.05)
+    p.add_argument("--weight_clamp", type=float, default=0.2)
+    p.add_argument("--pseudo_cam_sampling_rate", type=float, default=0.02)
+    p.add_argument("--num_views_for_pcd_densification", type=int, default=4)
+    p.add_argument("--num_inference_steps", type=int, default=100)
+    p.add_argument("--diffusion_width", type=int, default=1024)
+    p.add_argument("--diffusion_height", type=int, default=576)
+    p.add_argument("--num_frames", type=int, default=25)
+    p.add_argument("--svd_weights", default=None,
+                   help="dir with converted SVD/CLIP/VAE params (.npz); "
+                        "without it the warp-only completion runs")
+    # GS optimization (FSGS-side flags)
+    p.add_argument("--iterations", type=int, default=10_000)
+    p.add_argument("--lambda_dssim", type=float, default=0.2)
+    p.add_argument("--densify_grad_threshold", type=float, default=2e-4)
+    p.add_argument("--percent_dense", type=float, default=0.01)
+    p.add_argument("--sample_svd_pseudo_interval", type=int, default=2)
+    p.add_argument("--start_sample_svd_frame", type=int, default=2000)
+    p.add_argument("--disable_densification", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--log_every", type=int, default=1000)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from ..gs.scene import load_colmap_scene
+    from ..gs.trainer import GSTrainer, TrainConfig, make_viewset
+    from ..models import gaussians as G
+    from ..pipeline.orchestrator import DiffusionGS, DiffusionGSConfig
+
+    scene = load_colmap_scene(args.source_path, images_dir=args.images,
+                              resolution=args.resolution,
+                              n_views=args.n_views, llffhold=args.llffhold,
+                              rand_pcd=args.rand_pcd, seed=args.seed)
+    print(f"[scene] {len(scene.train_cameras)} train / "
+          f"{len(scene.test_cameras)} test views, "
+          f"{len(scene.points_xyz)} points")
+
+    views = make_viewset(scene.train_cameras, scene.train_images)
+    test_views = (make_viewset(scene.test_cameras, scene.test_images)
+                  if len(scene.test_cameras) else None)
+    init = G.from_points(jnp.asarray(scene.points_xyz),
+                         jnp.asarray(scene.points_rgb))
+    cfg = TrainConfig(
+        iterations=args.iterations, lambda_dssim=args.lambda_dssim,
+        densify_grad_threshold=args.densify_grad_threshold,
+        percent_dense=args.percent_dense,
+        sample_svd_pseudo_interval=args.sample_svd_pseudo_interval,
+        start_sample_svd_iter=args.start_sample_svd_frame, seed=args.seed)
+    trainer = GSTrainer(views, cfg, init, model_path=args.model_path,
+                        test_views=test_views)
+
+    completion_fn = None
+    if args.svd_weights:
+        completion_fn = _load_svd_completion(args)
+
+    dcfg = DiffusionGSConfig(
+        diffusion_width=args.diffusion_width,
+        diffusion_height=args.diffusion_height,
+        num_frames=args.num_frames,
+        num_inference_steps=args.num_inference_steps,
+        refine_cycle_num=args.refine_cycle_num,
+        refine_epoch=args.refine_epoch,
+        cam_confidence=args.cam_confidence,
+        disable_densification=args.disable_densification,
+        pseudo_cam_sampling_rate=args.pseudo_cam_sampling_rate,
+        variant="prob", seed=args.seed)
+    runner = DiffusionGS(trainer, dcfg, completion_fn=completion_fn)
+    runner.run(log_every=args.log_every)
+    print(f"[done] checkpoints in {args.model_path}")
+
+
+def _load_svd_completion(args):
+    """Build a GuidedSVDPipeline from converted weight files."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from ..diffusion.pipeline import (GuidedSVDConfig, GuidedSVDPipeline,
+                                      SVDModels)
+    from ..models.clip import CLIPVisionModelWithProjection
+    from ..models.svd_unet import UNetSpatioTemporalConditionModel
+    from ..models.vae import AutoencoderKLTemporalDecoder
+    from ..utils.params import load_params
+
+    d = args.svd_weights
+    models = SVDModels(
+        unet=UNetSpatioTemporalConditionModel(dtype=jnp.bfloat16),
+        unet_params=load_params(os.path.join(d, "unet.npz")),
+        vae=AutoencoderKLTemporalDecoder(),
+        vae_params=load_params(os.path.join(d, "vae.npz")),
+        clip=CLIPVisionModelWithProjection(dtype=jnp.bfloat16),
+        clip_params=load_params(os.path.join(d, "clip.npz")),
+    )
+    variant = ("post" if args.diffusion_type == "2PassProbUncertainPost"
+               else "prob")
+    cfg = GuidedSVDConfig(num_inference_steps=args.num_inference_steps,
+                          variant=variant)
+    return GuidedSVDPipeline(models, cfg)
+
+
+if __name__ == "__main__":
+    main()
