@@ -67,7 +67,9 @@ class TrainConfig:
     # start_sample_svd_frame flags (batch_llff_train.sh:39)
     sample_svd_pseudo_interval: int = 2
     start_sample_svd_iter: int = 2_000
-    # rasterizer
+    # rasterizer: 'tiled' (culled production path) or 'dense' (reference)
+    rasterizer: str = "tiled"
+    tile_cap: int = 1024
     sh_degree: int = 3
     chunk: int = 256
     group: int = 8
@@ -220,8 +222,13 @@ class GSTrainer:
             st = G.with_params(g, p)
             sg = rz.project_gaussians(st, camera, sh_degree=cfg.sh_degree,
                                       center_offset=offset)
-            out = rz.rasterize(sg, camera.height, camera.width, bg=bg,
-                               chunk=cfg.chunk, group=cfg.group)
+            if cfg.rasterizer == "tiled":
+                out = rz.rasterize_tiled(sg, camera.height, camera.width,
+                                         cap=cfg.tile_cap, bg=bg,
+                                         chunk=min(cfg.chunk, cfg.tile_cap))
+            else:
+                out = rz.rasterize(sg, camera.height, camera.width, bg=bg,
+                                   chunk=cfg.chunk, group=cfg.group)
             loss = losses.photometric_loss(out.rgb, image,
                                            lambda_dssim=cfg.lambda_dssim,
                                            confidence=camera.confidence)
@@ -383,7 +390,9 @@ class GSTrainer:
     def _render_jit(self, g: G.GaussianState, camera: Camera):
         return rz.render(g, camera, sh_degree=self.cfg.sh_degree,
                          bg=jnp.asarray(self.cfg.bg_color, jnp.float32),
-                         chunk=self.cfg.chunk, group=self.cfg.group)
+                         chunk=self.cfg.chunk, group=self.cfg.group,
+                         method=self.cfg.rasterizer,
+                         tile_cap=self.cfg.tile_cap)
 
     def update_cameras(self, views: np.ndarray, poses: np.ndarray,
                        K: np.ndarray, cam_confidences=None,

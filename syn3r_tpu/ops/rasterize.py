@@ -226,12 +226,147 @@ def rasterize(sg: ScreenGaussians, height: int, width: int,
     return RenderOutput(rgb=rgb, depth=depth, alpha=alpha)
 
 
+@functools.partial(jax.jit, static_argnames=("height", "width", "tile_h",
+                                              "tile_w", "cap", "chunk",
+                                              "group"))
+def rasterize_tiled(sg: ScreenGaussians, height: int, width: int,
+                    tile_h: int = 32, tile_w: int = 64, cap: int = 1024,
+                    chunk: int = 256, group: int = 2,
+                    bg: jnp.ndarray | None = None) -> RenderOutput:
+    """Tile-culled rasterization — the production path.
+
+    The dense path evaluates every Gaussian against every pixel; here each
+    (tile_h x tile_w) tile composites only the depth-sorted Gaussians whose
+    3-sigma screen bbox intersects it, compacted into a per-tile list of at
+    most ``cap`` entries (overflow drops the REARMOST entries — the ones a
+    saturated tile cannot see; size cap generously). Pixel coordinates are
+    tile-local (the Gaussian power is translation invariant), which keeps
+    the quadratic pixel features small. Everything stays differentiable:
+    the per-tile gather transposes to a scatter-add in the backward pass.
+    """
+    n = sg.center.shape[0]
+    ty = -(-height // tile_h)
+    tx = -(-width // tile_w)
+    n_tiles = ty * tx
+
+    depth_key = jnp.where(sg.valid & (sg.opacity > 0), sg.depth, jnp.inf)
+    order = jnp.argsort(depth_key)
+    G, C = _gaussian_matmul_features(sg)
+    G, C = G[order], C[order]
+    O = sg.opacity[order]
+    center = sg.center[order]
+    radius = jnp.where(sg.valid, sg.radius, 0.0)[order]
+    valid = sg.valid[order] & (O > 0)
+
+    # tile intersection masks: (T, N)
+    x0 = center[:, 0] - radius
+    x1 = center[:, 0] + radius
+    y0 = center[:, 1] - radius
+    y1 = center[:, 1] + radius
+    tile_ix = jnp.arange(n_tiles) % tx
+    tile_iy = jnp.arange(n_tiles) // tx
+    tx0 = (tile_ix * tile_w).astype(jnp.float32)[:, None]
+    ty0 = (tile_iy * tile_h).astype(jnp.float32)[:, None]
+    hit = (valid[None, :]
+           & (x1[None, :] >= tx0) & (x0[None, :] < tx0 + tile_w)
+           & (y1[None, :] >= ty0) & (y0[None, :] < ty0 + tile_h))
+
+    # stable compaction keeps depth order inside each tile list
+    cap = min(cap, n)
+    idx = jnp.argsort(~hit, axis=1, stable=True)[:, :cap]      # (T, cap)
+    counts = hit.sum(axis=1)
+    entry_valid = jnp.arange(cap)[None, :] < jnp.minimum(counts, cap)[:, None]
+
+    tG = jnp.where(entry_valid[..., None], G[idx], 0.0)        # (T, cap, 6)
+    tC = jnp.where(entry_valid[..., None], C[idx], 0.0)
+    tO = jnp.where(entry_valid, O[idx], 0.0)
+    tCx = center[idx]                                          # (T, cap, 2)
+
+    # shift gaussian features to tile-local coordinates: G depends on the
+    # center only through terms linear/quadratic in (gx, gy); rebuilding
+    # from conic + local center is simpler than shifting the packed form.
+    a = -2.0 * tG[..., 0]
+    b = -tG[..., 1]
+    c = -2.0 * tG[..., 2]
+    gx = tCx[..., 0] - tx0                                     # local
+    gy = tCx[..., 1] - ty0
+    tGl = jnp.stack([
+        -0.5 * a, -b, -0.5 * c,
+        a * gx + b * gy, b * gx + c * gy,
+        -0.5 * (a * gx * gx + 2.0 * b * gx * gy + c * gy * gy),
+    ], axis=-1)
+
+    ys = jnp.arange(tile_h, dtype=jnp.float32)[:, None].repeat(tile_w, 1)
+    xs = jnp.arange(tile_w, dtype=jnp.float32)[None, :].repeat(tile_h, 0)
+    P = pixel_features(ys.ravel(), xs.ravel())                 # (px, 6)
+
+    chunk = min(chunk, cap)
+    n_chunks = -(-cap // chunk)
+    grp = min(group, n_chunks)
+    n_groups = -(-n_chunks // grp)
+    pad_rows = n_groups * grp * chunk - cap
+
+    def tile_fn(Gt, Ct, Ot):
+        if pad_rows:
+            Gt = jnp.pad(Gt, ((0, pad_rows), (0, 0)))
+            Ct = jnp.pad(Ct, ((0, pad_rows), (0, 0)))
+            Ot = jnp.pad(Ot, ((0, pad_rows),))
+        Gr = Gt.reshape(n_groups, grp, chunk, 6)
+        Cr = Ct.reshape(n_groups, grp, chunk, 5)
+        Or = Ot.reshape(n_groups, grp, chunk)
+
+        def chunk_body(carry, data):
+            accum, logT = carry
+            Gc, Cc, Oc = data
+            power = jnp.dot(P, Gc.T, preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+            power = jnp.minimum(power, 0.0)
+            alpha = Oc[None, :] * jnp.exp(power)
+            alpha = jnp.minimum(alpha, _ALPHA_MAX)
+            alpha = jnp.where(alpha < _ALPHA_MIN, 0.0, alpha)
+            l1ma = jnp.log1p(-alpha)
+            excl = jnp.cumsum(l1ma, axis=1) - l1ma
+            w = alpha * jnp.exp(logT[:, None] + excl)
+            accum = accum + jnp.dot(w, Cc,
+                                    preferred_element_type=jnp.float32,
+                                    precision=jax.lax.Precision.HIGHEST)
+            return (accum, logT + jnp.sum(l1ma, axis=1)), None
+
+        def group_body(carry, gdata):
+            inner = functools.partial(jax.lax.scan, chunk_body)
+            carry, _ = jax.checkpoint(inner)(carry, gdata)
+            return carry, None
+
+        init = (jnp.zeros((tile_h * tile_w, 5), jnp.float32),
+                jnp.zeros((tile_h * tile_w,), jnp.float32))
+        (accum, logT), _ = jax.lax.scan(group_body, init, (Gr, Cr, Or))
+        return jnp.concatenate(
+            [accum[:, :4], (1.0 - jnp.exp(logT))[:, None]], axis=-1)
+
+    out = jax.vmap(tile_fn)(tGl, tC, tO)                       # (T, px, 5)
+    out = out.reshape(ty, tx, tile_h, tile_w, 5)
+    out = out.transpose(0, 2, 1, 3, 4).reshape(ty * tile_h, tx * tile_w, 5)
+    out = out[:height, :width]
+    rgb = out[..., :3]
+    alpha = out[..., 4]
+    if bg is not None:
+        rgb = rgb + (1.0 - alpha[..., None]) * bg
+    return RenderOutput(rgb=rgb, depth=out[..., 3], alpha=alpha)
+
+
 def render(state: GaussianState, camera: Camera, sh_degree: int = 3,
            bg: jnp.ndarray | None = None, near: float = 0.2,
            chunk: int = 256, group: int = 8,
-           center_offset: jnp.ndarray | None = None) -> RenderOutput:
-    """Project + rasterize in one call (the ``render_view`` equivalent)."""
+           center_offset: jnp.ndarray | None = None,
+           method: str = "dense", tile_cap: int = 1024) -> RenderOutput:
+    """Project + rasterize in one call (the ``render_view`` equivalent).
+
+    method: 'dense' (exact, every gaussian vs every pixel — the reference
+    implementation for tests) or 'tiled' (culled production path)."""
     sg = project_gaussians(state, camera, sh_degree=sh_degree, near=near,
                            center_offset=center_offset)
+    if method == "tiled":
+        return rasterize_tiled(sg, camera.height, camera.width, cap=tile_cap,
+                               chunk=min(chunk, tile_cap), bg=bg)
     return rasterize(sg, camera.height, camera.width, bg=bg, chunk=chunk,
                      group=group)

@@ -1,0 +1,306 @@
+"""DUSt3R in Flax: two-view pointmap regression + known-pose global
+alignment.
+
+The reference consumes DUSt3R through a thin wrapper (missing submodule;
+interface reconstructed in SURVEY.md §2.5): ``make_pairs(imgs,
+scene_graph='complete'|'oneref-0')`` and ``run(frames, c2w_poses=,
+intrinsics=, preset_pairs=)`` -> merged point cloud, with poses/intrinsics
+FIXED (the reference always supplies GS-known cameras,
+``model/diffusionGS.py:401,431``; inputs at width 512).
+
+Architecture (public DUSt3R/CroCo design): shared ViT encoder with 2D RoPE
+(the reference's ``curope`` CUDA kernel is plain math here — SURVEY.md
+§2.6), two intertwined decoders whose blocks self-attend over their own
+view and cross-attend to the other view's tokens, and a regression head
+mapping tokens to per-pixel 3D points + confidence in the FIRST view's
+camera frame.
+
+``global_align_known_poses`` is the test-time optimizer replacing the
+reference's pose-preset global alignment: per-view log-depths and per-edge
+log-scales minimize the confidence-weighted distance between world points
+from depths and the (scaled, pose-transformed) pair predictions — an optax
+Adam loop inside one jit.
+
+Weight conversion from the public DUSt3R checkpoint is round-2 work; the
+architecture is config-parameterized and shape/gradient tested.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import itertools
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..utils.camera import unproject
+from ..utils.se3 import se3_inverse
+
+
+# ---------------------------------------------------------------------------
+# 2D rotary position embeddings (curope equivalent)
+# ---------------------------------------------------------------------------
+
+def rope_2d(q: jnp.ndarray, k: jnp.ndarray, positions: jnp.ndarray,
+            base: float = 100.0):
+    """Apply 2D RoPE. q/k: (B, heads, N, D); positions: (B, N, 2) (y, x).
+    Half the head dim rotates with y, half with x."""
+    b, h, n, d = q.shape
+    half = d // 2
+
+    def rot(x, pos):
+        dd = x.shape[-1]
+        freqs = 1.0 / (base ** (jnp.arange(0, dd, 2) / dd))
+        ang = pos[..., None] * freqs                     # (B, N, dd/2)
+        cos = jnp.cos(ang)[:, None]
+        sin = jnp.sin(ang)[:, None]
+        x1, x2 = x[..., 0::2], x[..., 1::2]
+        out = jnp.stack([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
+        return out.reshape(x.shape)
+
+    def apply(x):
+        return jnp.concatenate(
+            [rot(x[..., :half], positions[..., 0]),
+             rot(x[..., half:], positions[..., 1])], axis=-1)
+
+    return apply(q), apply(k)
+
+
+class RopeAttention(nn.Module):
+    heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None, pos_q=None, pos_k=None):
+        d = x.shape[-1]
+        hd = d // self.heads
+        ctx = x if context is None else context
+        q = nn.Dense(d, dtype=self.dtype, name="q")(x)
+        k = nn.Dense(d, dtype=self.dtype, name="k")(ctx)
+        v = nn.Dense(d, dtype=self.dtype, name="v")(ctx)
+
+        def split(t):
+            return t.reshape(t.shape[0], t.shape[1], self.heads,
+                             hd).transpose(0, 2, 1, 3)
+
+        q, k, v = split(q), split(k), split(v)
+        if pos_q is not None:
+            qr, _ = rope_2d(q, q, pos_q)
+            q = qr
+        if pos_k is not None:
+            kr, _ = rope_2d(k, k, pos_k)
+            k = kr
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                          preferred_element_type=jnp.float32) * (hd ** -0.5)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), -1).astype(v.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(x.shape[0], x.shape[1], d)
+        return nn.Dense(d, dtype=self.dtype, name="proj")(out)
+
+
+class Mlp(nn.Module):
+    mult: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        d = x.shape[-1]
+        x = nn.Dense(d * self.mult, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        return nn.Dense(d, dtype=self.dtype, name="fc2")(x)
+
+
+class EncoderBlock(nn.Module):
+    heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, pos):
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        x = x + RopeAttention(self.heads, dtype=self.dtype, name="attn")(
+            h, pos_q=pos, pos_k=pos)
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        return x + Mlp(dtype=self.dtype, name="mlp")(h)
+
+
+class DecoderBlock(nn.Module):
+    heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, other, pos, pos_other):
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        x = x + RopeAttention(self.heads, dtype=self.dtype, name="attn")(
+            h, pos_q=pos, pos_k=pos)
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        x = x + RopeAttention(self.heads, dtype=self.dtype,
+                              name="cross_attn")(h, context=other,
+                                                 pos_q=pos, pos_k=pos_other)
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm3")(x)
+        return x + Mlp(dtype=self.dtype, name="mlp")(h)
+
+
+class Dust3R(nn.Module):
+    """Two-view pointmap network. call(img1, img2 (B, H, W, 3) in [0,1])
+    -> dict(pts1, conf1, pts2, conf2): both pointmaps in view 1's frame."""
+    patch: int = 16
+    enc_dim: int = 1024
+    enc_depth: int = 24
+    enc_heads: int = 16
+    dec_dim: int = 768
+    dec_depth: int = 12
+    dec_heads: int = 12
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, img1, img2):
+        b, H, W, _ = img1.shape
+        gh, gw = H // self.patch, W // self.patch
+        ys = jnp.repeat(jnp.arange(gh), gw)
+        xs = jnp.tile(jnp.arange(gw), gh)
+        pos = jnp.broadcast_to(
+            jnp.stack([ys, xs], -1)[None].astype(jnp.float32),
+            (b, gh * gw, 2))
+
+        # construct shared modules ONCE (the encoder weights are shared
+        # between the two views), then apply per view
+        embed = nn.Conv(self.enc_dim, (self.patch, self.patch),
+                        strides=(self.patch, self.patch), dtype=self.dtype,
+                        name="patch_embed")
+        enc_blocks = [EncoderBlock(self.enc_heads, dtype=self.dtype,
+                                   name=f"enc_{i}")
+                      for i in range(self.enc_depth)]
+        enc_norm = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                name="enc_norm")
+
+        def encode(img):
+            x = embed(img * 2.0 - 1.0).reshape(b, gh * gw, self.enc_dim)
+            for blk in enc_blocks:
+                x = blk(x, pos)
+            return enc_norm(x)
+
+        f1 = encode(img1)
+        f2 = encode(img2)
+
+        proj = nn.Dense(self.dec_dim, dtype=self.dtype, name="decoder_embed")
+        d1, d2 = proj(f1), proj(f2)
+        for i in range(self.dec_depth):
+            n1 = DecoderBlock(self.dec_heads, dtype=self.dtype,
+                              name=f"dec1_{i}")(d1, d2, pos, pos)
+            n2 = DecoderBlock(self.dec_heads, dtype=self.dtype,
+                              name=f"dec2_{i}")(d2, d1, pos, pos)
+            d1, d2 = n1, n2
+
+        def head(x, name):
+            x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                             name=f"{name}_norm")(x)
+            out = nn.Dense(self.patch * self.patch * 4, dtype=self.dtype,
+                           name=f"{name}_proj")(x)
+            out = out.reshape(b, gh, gw, self.patch, self.patch, 4)
+            out = out.transpose(0, 1, 3, 2, 4, 5).reshape(b, H, W, 4)
+            # DUSt3R post-process: exp-norm directions, softplus conf
+            pts, conf = out[..., :3], out[..., 3]
+            norm = jnp.linalg.norm(pts, axis=-1, keepdims=True)
+            pts = pts / jnp.maximum(norm, 1e-8) * jnp.expm1(norm)
+            return pts, 1.0 + jax.nn.softplus(conf)
+
+        pts1, conf1 = head(d1, "head1")
+        pts2, conf2 = head(d2, "head2")
+        return {"pts1": pts1, "conf1": conf1, "pts2": pts2, "conf2": conf2}
+
+
+# ---------------------------------------------------------------------------
+# pair construction + known-pose global alignment
+# ---------------------------------------------------------------------------
+
+def make_pairs(n_images: int, scene_graph: str = "complete") -> list:
+    """Pair index list (reference make_pairs usage, diffusionGS.py:401,424)."""
+    if scene_graph == "complete":
+        return list(itertools.combinations(range(n_images), 2))
+    if scene_graph.startswith("oneref-"):
+        ref = int(scene_graph.split("-")[1])
+        return [(ref, j) for j in range(n_images) if j != ref]
+    raise ValueError(scene_graph)
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def global_align_known_poses(pair_pts, pair_conf, pair_view_idx, c2w, K,
+                             init_depths, iters: int = 300,
+                             lr: float = 1e-2):
+    """Align pair pointmap predictions into a consistent scene with FIXED
+    camera poses (the reference's preset-pose global alignment).
+
+    pair_pts:  (E, H, W, 3) predicted points, each in the reference frame
+               of its pair -> mapped to world by c2w[pair_cam] below.
+    pair_conf: (E, H, W) confidences.
+    pair_view_idx: (E, 2) int — [owning view v (whose pixels), reference
+               cam r (whose frame the prediction lives in)].
+    c2w: (V, 4, 4); K: (3, 3); init_depths: (V, H, W).
+
+    Optimizes per-view log-depths + per-edge log-scales; returns
+    (depths (V, H, W), scales (E,), final loss).
+    """
+    v_idx = pair_view_idx[:, 0]
+    r_idx = pair_view_idx[:, 1]
+
+    def world_from_depth(log_depth, view):
+        d = jnp.exp(log_depth)
+        pts_cam = unproject(d, K)
+        c = c2w[view]
+        return pts_cam @ c[:3, :3].T + c[:3, 3]
+
+    def loss_fn(params):
+        logd, logs = params["log_depths"], params["log_scales"]
+
+        def edge_loss(e):
+            pred = pair_pts[e] * jnp.exp(logs[e])
+            c = c2w[r_idx[e]]
+            pred_w = pred @ c[:3, :3].T + c[:3, 3]
+            mine = world_from_depth(logd[v_idx[e]], v_idx[e])
+            return (pair_conf[e] *
+                    jnp.sum((pred_w - mine) ** 2, axis=-1)).mean()
+
+        losses = jax.vmap(edge_loss)(jnp.arange(pair_pts.shape[0]))
+        return losses.mean()
+
+    params = {"log_depths": jnp.log(jnp.maximum(init_depths, 1e-3)),
+              "log_scales": jnp.zeros((pair_pts.shape[0],))}
+    opt = optax.adam(lr)
+    state = opt.init(params)
+
+    def step(carry, _):
+        params, state = carry
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, state = opt.update(grads, state)
+        return (optax.apply_updates(params, updates), state), loss
+
+    (params, _), losses = jax.lax.scan(step, (params, state), None,
+                                       length=iters)
+    return (jnp.exp(params["log_depths"]), jnp.exp(params["log_scales"]),
+            losses[-1])
+
+
+def fuse_point_cloud(depths, images, c2w, K, conf=None,
+                     conf_thresh: float = 1.5, stride: int = 2):
+    """Depths -> merged world point cloud (the reference's trimesh-scene
+    output, filtered by confidence)."""
+    import numpy as np
+    pts_all, rgb_all = [], []
+    for v in range(depths.shape[0]):
+        d = depths[v, ::stride, ::stride]
+        Ks = jnp.asarray(K).at[:2].mul(1.0 / stride)
+        pc = unproject(d, Ks)
+        c = c2w[v]
+        pw = pc @ c[:3, :3].T + c[:3, 3]
+        keep = d > 1e-4
+        if conf is not None:
+            keep = keep & (conf[v, ::stride, ::stride] > conf_thresh)
+        pts_all.append(np.asarray(pw)[np.asarray(keep)])
+        rgb_all.append(np.asarray(images[v, ::stride, ::stride])
+                       [np.asarray(keep)])
+    import numpy as np
+    return np.concatenate(pts_all), np.concatenate(rgb_all)
