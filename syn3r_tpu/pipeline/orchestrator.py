@@ -30,6 +30,7 @@ import numpy as np
 from ..gs.trainer import GSTrainer
 from ..utils.camera import Camera, make_camera
 from ..utils.image import resize_bilinear
+from ..utils.profiling import PhaseTimer
 from . import completion as C
 
 
@@ -66,6 +67,7 @@ class DiffusionGS:
                                                  "dense_views")
         os.makedirs(self.save_dir, exist_ok=True)
         self._rng = np.random.default_rng(config.seed)
+        self.timer = PhaseTimer()
 
         # cache GS intrinsics/resolution from camera 0 and derive the
         # diffusion-resolution intrinsics (reference :67-73)
@@ -193,9 +195,14 @@ class DiffusionGS:
     def run(self, refine_cycles: Optional[int] = None, log_every: int = 0):
         """The full test-time loop (reference run(), :1668-1697)."""
         cycles = refine_cycles or self.cfg.refine_cycle_num
-        self.init_GS(0, log_every=log_every)
+        with self.timer.phase("init_gs", sync=True):
+            self.init_GS(0, log_every=log_every)
         for cyc in range(cycles):
-            frames, poses = self.densify_views(cyc, log_every=log_every)
-            self.refine_GS(frames, poses, cycle=cyc, load_ckpt=(cyc > 0),
-                           log_every=log_every)
+            with self.timer.phase("densify", sync=True):
+                frames, poses = self.densify_views(cyc, log_every=log_every)
+            with self.timer.phase("refine", sync=True):
+                self.refine_GS(frames, poses, cycle=cyc,
+                               load_ckpt=(cyc > 0), log_every=log_every)
+        if log_every:
+            print("[timing]", self.timer.report())
         return self.trainer
