@@ -138,6 +138,34 @@ def prepare_pair_conditioning(
                             lambda_ts=lam)
 
 
+def covisibility_distance(pose_a: np.ndarray, pose_b: np.ndarray,
+                          alpha: float = 1.0, beta: float = 1.0) -> float:
+    """1 - exp(-a*|t|) * exp(-b*angle) — the FPS keyframe metric
+    (reference diffusionGS.py:185-217)."""
+    t = float(np.linalg.norm(pose_a[:3, 3] - pose_b[:3, 3]))
+    rel = pose_a[:3, :3].T @ pose_b[:3, :3]
+    ang = float(np.arccos(np.clip((np.trace(rel) - 1) / 2, -1, 1)))
+    return 1.0 - np.exp(-alpha * t) * np.exp(-beta * ang)
+
+
+def fps_keyframes(poses: np.ndarray, num: int) -> list[int]:
+    """Farthest-point sampling over the covisibility metric: pick ``num``
+    frames maximally spread in pose space (reference :274-284)."""
+    n = len(poses)
+    if num >= n:
+        return list(range(n))
+    selected = [0]
+    dists = np.array([covisibility_distance(poses[0], poses[j])
+                      for j in range(n)])
+    for _ in range(num - 1):
+        nxt = int(dists.argmax())
+        selected.append(nxt)
+        d_new = np.array([covisibility_distance(poses[nxt], poses[j])
+                          for j in range(n)])
+        dists = np.minimum(dists, d_new)
+    return sorted(selected)
+
+
 # ---------------------------------------------------------------------------
 # pose utilities (host-side, numpy + jax warps)
 # ---------------------------------------------------------------------------

@@ -48,6 +48,10 @@ class DiffusionGSConfig:
     perturb_interp_poses: bool = True
     variant: str = "prob"            # uncertainty-fused conditioning
     replace_endpoints: bool = True
+    # DUSt3R point-cloud densification (DL3DV path; <=1 disables, the
+    # LLFF setting — reference diffusionGS.py:302, batch_llff_train.sh:39)
+    num_views_for_pcd_densification: int = 1
+    pcd_frame_quality_thresh: float = 0.3
     seed: int = 0
 
 
@@ -56,13 +60,20 @@ class DiffusionGS:
 
     def __init__(self, trainer: GSTrainer, config: DiffusionGSConfig,
                  completion_fn: Optional[Callable] = None,
-                 save_dir: Optional[str] = None):
+                 save_dir: Optional[str] = None,
+                 dust3r_fn: Optional[Callable] = None,
+                 flow_fn: Optional[Callable] = None):
         """completion_fn(image_start, cond_images, image_end, mask,
         lambda_ts, key) -> (F, H, W, 3) frames — a GuidedSVDPipeline or a
-        stand-in."""
+        stand-in. dust3r_fn(frames, c2w, K) -> (xyz, rgb) enables the
+        DL3DV point-cloud densification branch (vision.dust3r.
+        make_dust3r_fn); flow_fn(a, b) -> flow enables the GMFlow frame-
+        quality gate."""
         self.trainer = trainer
         self.cfg = config
         self.completion_fn = completion_fn or self._warp_only_completion
+        self.dust3r_fn = dust3r_fn
+        self.flow_fn = flow_fn
         self.save_dir = save_dir or os.path.join(trainer.model_path,
                                                  "dense_views")
         os.makedirs(self.save_dir, exist_ok=True)
@@ -169,6 +180,57 @@ class DiffusionGS:
 
         return jnp.stack(all_frames), jnp.stack(all_poses)
 
+    def densify_pcds(self, frames, poses, cycle: int):
+        """DUSt3R point-cloud densification over FPS-selected keyframes
+        (reference densify_views keyframe collection :274-336 +
+        densify_pcds :347-435). frames (P, F, Hgs, Wgs, 3) at GS res;
+        poses (P, F, 4, 4) w2c. Returns (xyz, rgb) or None."""
+        cfg = self.cfg
+        if cfg.num_views_for_pcd_densification <= 1 or self.dust3r_fn is None:
+            return None
+        flat_frames = np.asarray(frames).reshape(-1, *frames.shape[2:])
+        flat_poses = np.asarray(poses).reshape(-1, 4, 4)
+
+        # frame-quality gate: GMFlow fwd-bwd consistency vs the GS render
+        # (reference :377-385); skipped without a flow_fn
+        if self.flow_fn is not None:
+            from ..vision.gmflow import correspondence_mask
+            keep = []
+            for i in range(len(flat_frames)):
+                rendered, _ = self.render_gs_res(jnp.asarray(flat_poses[i]))
+                _, _, mean = correspondence_mask(
+                    self.flow_fn, jnp.asarray(flat_frames[i]), rendered)
+                keep.append(float(mean) > cfg.pcd_frame_quality_thresh)
+            keep = np.asarray(keep)
+            if keep.sum() >= 2:
+                flat_frames = flat_frames[keep]
+                flat_poses = flat_poses[keep]
+
+        key_idx = C.fps_keyframes(flat_poses,
+                                  cfg.num_views_for_pcd_densification)
+        from ..utils.se3 import se3_inverse
+        c2w = np.asarray(se3_inverse(jnp.asarray(flat_poses[key_idx])))
+        K_gs = np.asarray(jax.tree.map(lambda x: x[0],
+                                       self.trainer.train_views.cameras).K)
+        xyz, rgb = self.dust3r_fn(jnp.asarray(flat_frames[key_idx]), c2w,
+                                  K_gs)
+        from ..cli.generate_pcd import remove_statistical_outliers
+        xyz, rgb = remove_statistical_outliers(np.asarray(xyz),
+                                               np.asarray(rgb))
+        from ..utils.ply import write_ply_points
+        write_ply_points(os.path.join(self.save_dir,
+                                      f"dense_views_cyc{cycle}.ply"),
+                         xyz, rgb)
+        return xyz, rgb
+
+    def render_gs_res(self, pose: jnp.ndarray):
+        """Render a pose at the GS training resolution."""
+        K_gs = jax.tree.map(lambda x: x[0],
+                            self.trainer.train_views.cameras).K
+        cam = make_camera(K_gs, pose, self.gs_width, self.gs_height)
+        out = self.trainer.render_view(cam)
+        return out["render"], out["depth"]
+
     def refine_GS(self, frames, poses, cycle: int, load_ckpt: bool = False,
                   log_every: int = 0):
         """Install pseudo views and finetune (reference :1610-1645)."""
@@ -200,6 +262,11 @@ class DiffusionGS:
         for cyc in range(cycles):
             with self.timer.phase("densify", sync=True):
                 frames, poses = self.densify_views(cyc, log_every=log_every)
+            with self.timer.phase("densify_pcd", sync=True):
+                pcd = self.densify_pcds(frames, poses, cyc)
+            if pcd is not None:
+                self.trainer.reset_gaussians_from_pcd(
+                    pcd[0], pcd[1], append_to_old_gaussians=(cyc > 0))
             with self.timer.phase("refine", sync=True):
                 self.refine_GS(frames, poses, cycle=cyc,
                                load_ckpt=(cyc > 0), log_every=log_every)

@@ -284,6 +284,47 @@ def global_align_known_poses(pair_pts, pair_conf, pair_view_idx, c2w, K,
             losses[-1])
 
 
+def make_dust3r_fn(model: "Dust3R", params, align_iters: int = 300,
+                   scene_graph: str = "complete", conf_thresh: float = 1.5,
+                   stride: int = 2):
+    """Bundle network + known-pose alignment into the orchestrator's
+    pluggable interface: fn(frames (V,H,W,3) [0,1], c2w (V,4,4), K (3,3))
+    -> (xyz (N,3), rgb (N,3)) — the reference's dust3r.run with preset
+    poses/intrinsics (diffusionGS.py:431)."""
+    import numpy as np
+
+    def fn(frames, c2w, K):
+        v, h, w = frames.shape[:3]
+        pairs = make_pairs(v, scene_graph)
+        pair_pts, pair_conf, pv = [], [], []
+        for (i, j) in pairs:
+            out = model.apply(params, frames[i:i + 1], frames[j:j + 1])
+            # both pointmaps live in view i's frame
+            pair_pts.append(out["pts1"][0])
+            pair_conf.append(out["conf1"][0])
+            pv.append((i, i))
+            pair_pts.append(out["pts2"][0])
+            pair_conf.append(out["conf2"][0])
+            pv.append((j, i))
+        init = jnp.full((v, h, w), 1.0)
+        depths, _, _ = global_align_known_poses(
+            jnp.stack(pair_pts), jnp.stack(pair_conf),
+            jnp.asarray(pv, jnp.int32), jnp.asarray(c2w), jnp.asarray(K),
+            init, iters=align_iters)
+        # per-view confidence = mean over edges owning that view
+        conf = np.zeros((v, h, w), np.float32)
+        cnt = np.zeros(v)
+        for e, (view, _) in enumerate(pv):
+            conf[view] += np.asarray(pair_conf[e])
+            cnt[view] += 1
+        conf /= np.maximum(cnt[:, None, None], 1)
+        return fuse_point_cloud(depths, frames, jnp.asarray(c2w),
+                                jnp.asarray(K), conf=jnp.asarray(conf),
+                                conf_thresh=conf_thresh, stride=stride)
+
+    return fn
+
+
 def fuse_point_cloud(depths, images, c2w, K, conf=None,
                      conf_thresh: float = 1.5, stride: int = 2):
     """Depths -> merged world point cloud (the reference's trimesh-scene

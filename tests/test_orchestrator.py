@@ -107,3 +107,40 @@ def test_full_refine_cycle(tmp_path):
     assert frames.shape == (2, 5, 48, 64, 3)
     # checkpoints with reference naming
     assert tr.latest_checkpoint() is not None
+
+
+def test_fps_keyframes():
+    poses = np.stack([np.eye(4, dtype=np.float32) for _ in range(6)])
+    for i in range(6):
+        poses[i][0, 3] = i * 0.1
+    sel = C.fps_keyframes(poses, 3)
+    assert len(sel) == 3 and 0 in sel and 5 in sel  # endpoints farthest
+
+
+def test_pcd_densification_branch(tmp_path):
+    cams, imgs, xyz = _scene()
+    views = make_viewset(cams, imgs)
+    init = G.from_points(jnp.asarray(xyz),
+                         jnp.asarray(np.full_like(xyz, 0.5)), capacity=128)
+    cfg = TrainConfig(iterations=10, densify_from_iter=10 ** 9, chunk=64,
+                      group=1)
+    tr = GSTrainer(views, cfg, init, model_path=str(tmp_path))
+    calls = {}
+
+    def fake_dust3r(frames, c2w, K):
+        calls["frames"] = np.asarray(frames)
+        rng = np.random.default_rng(0)
+        return (rng.normal(size=(50, 3)).astype(np.float32),
+                rng.uniform(size=(50, 3)).astype(np.float32))
+
+    dcfg = DiffusionGSConfig(diffusion_width=64, diffusion_height=48,
+                             num_frames=3, num_inference_steps=5,
+                             refine_cycle_num=1, perturb_interp_poses=False,
+                             num_views_for_pcd_densification=2)
+    runner = DiffusionGS(tr, dcfg, save_dir=str(tmp_path / "dense"),
+                         dust3r_fn=fake_dust3r)
+    runner.run(refine_cycles=1)
+    assert calls["frames"].shape[0] == 2          # FPS picked 2 keyframes
+    assert (tmp_path / "dense" / "dense_views_cyc0.ply").exists()
+    # gaussians were reset from the (fake) pcd: <=50 active
+    assert int(tr.gaussians.num_active) <= 50
