@@ -444,18 +444,18 @@ class GSTrainer:
         if append_to_old_gaussians:
             old = self.state.gaussians
             cap = G.next_capacity(int(old.num_active) + int(new.num_active))
+            # compact actives to the front BEFORE any truncation: the new
+            # points sit at the tail of the concat, so truncating first
+            # (when old.capacity > cap) would silently drop them all.
+            active_cat = jnp.concatenate([old.active, new.active])
+            order = jnp.argsort(~active_cat, stable=True)
             merged = {}
             for f in G.PARAM_FIELDS + ("active",):
-                a, b = getattr(old, f), getattr(new, f)
-                cat = jnp.concatenate([a, b])[:cap] if a.shape[0] + b.shape[0] >= cap \
-                    else jnp.pad(jnp.concatenate([a, b]),
-                                 [(0, cap - a.shape[0] - b.shape[0])]
-                                 + [(0, 0)] * (a.ndim - 1))
-                merged[f] = cat
-            # compact actives to the front so truncation above never drops
-            # live gaussians: order by ~active
-            order = jnp.argsort(~merged["active"], stable=True)
-            merged = {k: v[order] for k, v in merged.items()}
+                cat = jnp.concatenate([getattr(old, f),
+                                       getattr(new, f)])[order]
+                n = cat.shape[0]
+                merged[f] = cat[:cap] if n >= cap else jnp.pad(
+                    cat, [(0, cap - n)] + [(0, 0)] * (cat.ndim - 1))
             new = G.GaussianState(**merged)
         self.state = TrainState(
             gaussians=new, adam=AdamState.init(G.get_params(new)),

@@ -164,3 +164,39 @@ def test_tsp_ordering_and_extent():
     order = order_cameras_tsp(batched)
     assert order == [0, 2, 1, 3]
     assert scene_extent(batched) > 0
+
+
+def test_reset_gaussians_from_pcd_append_keeps_new_points(tmp_path):
+    """Regression: when the old state's capacity exceeds the merged target
+    capacity, appended points (at the concat tail) must survive truncation
+    (the DL3DV cycle>0 path, reference diffusionGS.py:1683-1687)."""
+    _, cams, imgs = _toy_scene(n_views=2)
+    views = make_viewset(cams, imgs)
+    rng = np.random.default_rng(0)
+    # old: huge capacity, few actives (post-prune shape)
+    old_xyz = rng.uniform(-1, 1, (100, 3)).astype(np.float32)
+    old = G.from_points(jnp.asarray(old_xyz),
+                        jnp.asarray(np.full((100, 3), 0.25, np.float32)),
+                        capacity=16384)
+    tr = GSTrainer(views, TrainConfig(iterations=1, chunk=8, group=1), old,
+                   model_path=str(tmp_path))
+    assert int(tr.gaussians.num_active) == 100
+
+    new_xyz = rng.uniform(-1, 1, (4000, 3)).astype(np.float32)
+    new_rgb = np.full((4000, 3), 0.75, np.float32)
+    tr.reset_gaussians_from_pcd(new_xyz, new_rgb,
+                                append_to_old_gaussians=True)
+    g = tr.gaussians
+    assert int(g.num_active) == 4100, int(g.num_active)
+    # every appended point is present among the active rows
+    act = np.asarray(g.active)
+    means = np.asarray(g.means)[act]
+    dc = np.asarray(g.sh_dc)[act].reshape(means.shape[0], -1)
+    # old points carry dc for rgb=0.25, new for 0.75 — count by color
+    from syn3r_tpu.models.gaussians import rgb_to_sh_dc
+    new_dc = np.asarray(rgb_to_sh_dc(jnp.full((1, 3), 0.75)))[0]
+    is_new = np.isclose(dc[:, :3], new_dc, atol=1e-5).all(axis=1)
+    assert is_new.sum() == 4000, is_new.sum()
+    # and the new coordinates are exactly preserved (set equality via sort)
+    got = np.sort(means[is_new], axis=0)
+    np.testing.assert_allclose(got, np.sort(new_xyz, axis=0), rtol=1e-6)
