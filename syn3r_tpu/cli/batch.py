@@ -22,7 +22,9 @@ PRESETS = {
              "--cam_confidence", "0.05", "--pseudo_cam_sampling_rate",
              "0.02", "--refine_cycle_num", "2",
              "--num_views_for_pcd_densification", "1",
+             "--sample_svd_pseudo_interval", "1",
              "--start_sample_svd_frame", "2000",
+             "--svd_depth_warmup", "1",
              "--densify_grad_threshold", "0.0002",
              "--percent_dense", "0.001"],
     "dtu": ["--n_views", "3", "--diffusion_type", "2PassProbUncertain",

@@ -32,7 +32,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--refine_cycle_num", type=int, default=2)
     p.add_argument("--refine_epoch", type=int, default=1)
     p.add_argument("--cam_confidence", type=float, default=0.05)
-    p.add_argument("--weight_clamp", type=float, default=0.2)
+    # NOTE: accepted for reference-CLI parity but a deliberate no-op: in
+    # the reference's live path the clamp is hard-coded to 0.4 inside the
+    # scheduler (scheduling_euler_discrete.py:767) and this flag only fed
+    # dead 1-pass code — see SURVEY.md §2.8.
+    p.add_argument("--weight_clamp", type=float, default=0.2,
+                   help="no-op, kept for reference-CLI parity (the live "
+                        "clamp is hard-coded 0.4 in the scheduler)")
     p.add_argument("--pseudo_cam_sampling_rate", type=float, default=0.02)
     p.add_argument("--num_views_for_pcd_densification", type=int, default=4)
     p.add_argument("--num_inference_steps", type=int, default=100)
@@ -49,6 +55,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--percent_dense", type=float, default=0.01)
     p.add_argument("--sample_svd_pseudo_interval", type=int, default=2)
     p.add_argument("--start_sample_svd_frame", type=int, default=2000)
+    p.add_argument("--svd_depth_warmup", type=int, default=0,
+                   help="when > 0, add Pearson depth supervision on SVD "
+                        "pseudo views (reconstructed FSGS-fork semantics)")
+    p.add_argument("--lpips_weight", type=float, default=1.0)
+    p.add_argument("--lpips_weights", default=None,
+                   help="converted LPIPS VGG params (.npz); enables the "
+                        "LPIPS refine loss (reference opt.use_lpips_loss)")
     p.add_argument("--disable_densification", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log_every", type=int, default=1000)
@@ -83,9 +96,15 @@ def main(argv=None):
         densify_grad_threshold=args.densify_grad_threshold,
         percent_dense=args.percent_dense,
         sample_svd_pseudo_interval=args.sample_svd_pseudo_interval,
-        start_sample_svd_iter=args.start_sample_svd_frame, seed=args.seed)
+        start_sample_svd_iter=args.start_sample_svd_frame,
+        pseudo_cam_sampling_rate=args.pseudo_cam_sampling_rate,
+        svd_depth_warmup=args.svd_depth_warmup,
+        lpips_weight=args.lpips_weight, seed=args.seed)
     trainer = GSTrainer(views, cfg, init, model_path=args.model_path,
                         test_views=test_views)
+    if args.lpips_weights:
+        from ..utils.params import load_params
+        trainer.set_lpips(load_params(args.lpips_weights))
 
     completion_fn = None
     if args.svd_weights:
@@ -101,7 +120,9 @@ def main(argv=None):
         cam_confidence=args.cam_confidence,
         disable_densification=args.disable_densification,
         pseudo_cam_sampling_rate=args.pseudo_cam_sampling_rate,
-        variant="prob", seed=args.seed)
+        use_lpips_loss=bool(args.lpips_weights),
+        num_views_for_pcd_densification=args.num_views_for_pcd_densification,
+        seed=args.seed)
     runner = DiffusionGS(trainer, dcfg, completion_fn=completion_fn)
     runner.run(log_every=args.log_every)
     print(f"[done] checkpoints in {args.model_path}")

@@ -238,7 +238,7 @@ class GuidedSVDPipeline:
         """(F, h, w, 4) -> (F, H, W, 3) in [0, 1], chunked temporal decode
         (reference decode_latents, chunks of decode_chunk_size)."""
         cfg = self.cfg
-        z = latents / 0.18215
+        z = latents / self.m.vae.scaling_factor
         f = z.shape[0]
         c = cfg.decode_chunk_size
         frames = []

@@ -13,6 +13,7 @@ LPIPS requires pretrained VGG weights; it is gated behind a weights file
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..utils.image import ssim
@@ -33,3 +34,36 @@ def photometric_loss(pred: jnp.ndarray, target: jnp.ndarray,
     loss = (1.0 - lambda_dssim) * l1_loss(pred, target) \
         + lambda_dssim * dssim_loss(pred, target)
     return confidence * loss
+
+
+def pearson_depth_loss(pred_depth: jnp.ndarray, target_depth: jnp.ndarray,
+                       valid: jnp.ndarray | None = None) -> jnp.ndarray:
+    """1 - Pearson correlation between rendered and target depth.
+
+    The FSGS-family depth supervision form (upstream FSGS supervises
+    rendered depth against monocular depth estimates with a Pearson
+    correlation loss, which is invariant to the unknown scale/shift of the
+    target depth). The SYN3R fork's ``--svd_depth_warmup`` /
+    ``sample_svd_pseudo_interval`` flags (reference
+    ``bash_scripts/batch_llff_train.sh:39``) imply the same term applied to
+    SVD pseudo views; the submodule is absent so the exact weighting is
+    reconstructed, not copied — see gs/trainer.py.
+
+    ``valid``: optional (H, W) bool mask (e.g. target depth > 0).
+    """
+    p = pred_depth.ravel()
+    t = target_depth.ravel()
+    if valid is not None:
+        v = valid.ravel().astype(p.dtype)
+    else:
+        v = jnp.ones_like(p)
+    n = jnp.maximum(v.sum(), 1.0)
+    pm = (p * v).sum() / n
+    tm = (t * v).sum() / n
+    pc = (p - pm) * v
+    tc = (t - tm) * v
+    cov = (pc * tc).sum() / n
+    var_p = (pc * pc).sum() / n
+    var_t = (tc * tc).sum() / n
+    corr = cov * jax.lax.rsqrt(var_p * var_t + 1e-12)
+    return 1.0 - corr

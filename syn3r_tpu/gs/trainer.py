@@ -53,6 +53,18 @@ class TrainConfig:
     rotation_lr: float = 1e-3
     # loss
     lambda_dssim: float = 0.2
+    # LPIPS training loss (reference toggles opt.use_lpips_loss around the
+    # refine phase, model/diffusionGS.py:1690,1697; DL3DV passes
+    # --lpips_weight 1, bash_scripts/batch_dl3dv_train.sh:84-87). Needs
+    # converted VGG weights installed via GSTrainer.set_lpips().
+    lpips_weight: float = 1.0
+    # depth supervision on SVD pseudo views (the fork's --svd_depth_warmup
+    # flag, batch_llff_train.sh:39; semantics reconstructed — submodule
+    # absent): when > 0, pseudo-view iterations add a Pearson-correlation
+    # loss between the rendered depth and the GS depth captured when the
+    # pseudo view was generated (scale/shift-invariant, FSGS's depth form).
+    svd_depth_warmup: int = 0
+    depth_loss_weight: float = 0.05
     # densification
     densify_from_iter: int = 500
     densify_until_iter: int = 10_000
@@ -64,9 +76,18 @@ class TrainConfig:
     max_world_scale: Optional[float] = 0.1
     capacity_growth_occupancy: float = 0.85
     # pseudo (SVD) view sampling — the fork's sample_svd_pseudo_interval /
-    # start_sample_svd_frame flags (batch_llff_train.sh:39)
+    # start_sample_svd_frame / pseudo_cam_sampling_rate flags
+    # (batch_llff_train.sh:39). Reconstructed semantics (submodule absent):
+    # an iteration is ELIGIBLE for a pseudo view when it >= start and
+    # it % interval == 0; at an eligible iteration a pseudo view is drawn
+    # with probability min(1, rate * n_pseudo) — i.e. rate is the per-
+    # pseudo-camera sampling weight relative to the real views, so the
+    # pseudo fraction scales with how many pseudo views exist (LLFF:
+    # 0.02 x 48 pseudo ~ 24% pseudo vs 3 real views). rate <= 0 means
+    # every eligible iteration uses a pseudo view (pure interval cadence).
     sample_svd_pseudo_interval: int = 2
     start_sample_svd_iter: int = 2_000
+    pseudo_cam_sampling_rate: float = 0.0
     # rasterizer: 'tiled' (culled production path) or 'dense' (reference)
     rasterizer: str = "tiled"
     tile_cap: int = 1024
@@ -195,6 +216,11 @@ class GSTrainer:
         self.train_views = train_views
         self.test_views = test_views
         self.pseudo_views: Optional[ViewSet] = None
+        self.pseudo_depths: Optional[jnp.ndarray] = None  # (V, H, W) or None
+        # LPIPS loss: off by default; the orchestrator toggles it around the
+        # refine phase (reference model/diffusionGS.py:1690,1697).
+        self.use_lpips_loss = False
+        self._lpips_params: Optional[dict] = None
         self.model_path = model_path
         os.makedirs(model_path, exist_ok=True)
         self.extent = max(scene_extent(train_views.cameras), 1e-6)
@@ -209,9 +235,12 @@ class GSTrainer:
 
     # -- jitted pieces ------------------------------------------------------
 
-    @functools.partial(jax.jit, static_argnames=("self",))
+    @functools.partial(jax.jit,
+                       static_argnames=("self", "use_lpips", "use_depth"))
     def _train_step(self, ts: TrainState, camera: Camera,
-                    image: jnp.ndarray) -> tuple[TrainState, dict]:
+                    image: jnp.ndarray, depth_target=None,
+                    lpips_params=None, use_lpips: bool = False,
+                    use_depth: bool = False) -> tuple[TrainState, dict]:
         cfg = self.cfg
         g = ts.gaussians
         params = G.get_params(g)
@@ -232,6 +261,17 @@ class GSTrainer:
             loss = losses.photometric_loss(out.rgb, image,
                                            lambda_dssim=cfg.lambda_dssim,
                                            confidence=camera.confidence)
+            if use_lpips:
+                from ..models.lpips import LPIPS
+                lp = LPIPS().apply(lpips_params, out.rgb, image)
+                loss = loss + camera.confidence * cfg.lpips_weight * lp
+            if use_depth:
+                pred_depth = jnp.where(out.alpha > 1e-6,
+                                       out.depth / jnp.maximum(out.alpha,
+                                                               1e-6), 0.0)
+                dl = losses.pearson_depth_loss(pred_depth, depth_target,
+                                               valid=depth_target > 0)
+                loss = loss + cfg.depth_loss_weight * dl
             return loss, sg
 
         (loss, sg), (grads, g_off) = jax.value_and_grad(
@@ -321,26 +361,42 @@ class GSTrainer:
     def gaussians(self) -> G.GaussianState:
         return self.state.gaussians
 
-    def _pick_view(self, it: int) -> tuple[Camera, jnp.ndarray]:
+    def _pick_view(self, it: int):
+        """Returns (camera, image, pseudo_index or None). Pseudo-sampling
+        semantics documented at TrainConfig.pseudo_cam_sampling_rate."""
         cfg = self.cfg
-        use_pseudo = (self.pseudo_views is not None
-                      and len(self.pseudo_views) > 0
-                      and it >= cfg.start_sample_svd_iter
-                      and cfg.sample_svd_pseudo_interval > 0
-                      and it % cfg.sample_svd_pseudo_interval == 0)
-        if use_pseudo:
-            i = int(self._rng.integers(len(self.pseudo_views)))
-            return self.pseudo_views.view(i)
+        eligible = (self.pseudo_views is not None
+                    and len(self.pseudo_views) > 0
+                    and it >= cfg.start_sample_svd_iter
+                    and cfg.sample_svd_pseudo_interval > 0
+                    and it % cfg.sample_svd_pseudo_interval == 0)
+        if eligible:
+            n = len(self.pseudo_views)
+            p = (1.0 if cfg.pseudo_cam_sampling_rate <= 0
+                 else min(1.0, cfg.pseudo_cam_sampling_rate * n))
+            if self._rng.random() < p:
+                i = int(self._rng.integers(n))
+                cam, img = self.pseudo_views.view(i)
+                return cam, img, i
         i = int(self._rng.integers(len(self.train_views)))
-        return self.train_views.view(i)
+        cam, img = self.train_views.view(i)
+        return cam, img, None
 
     def _run_loop(self, start_iter: int, end_iter: int,
                   densify: bool = True, log_every: int = 0):
         cfg = self.cfg
         last_loss = float("nan")
+        use_lpips = bool(self.use_lpips_loss and self._lpips_params
+                         is not None and cfg.lpips_weight > 0)
         for it in range(start_iter, end_iter):
-            cam, img = self._pick_view(it)
-            self.state, metrics = self._train_step(self.state, cam, img)
+            cam, img, pseudo_i = self._pick_view(it)
+            use_depth = (pseudo_i is not None and cfg.svd_depth_warmup > 0
+                         and self.pseudo_depths is not None)
+            depth_t = self.pseudo_depths[pseudo_i] if use_depth else None
+            self.state, metrics = self._train_step(
+                self.state, cam, img, depth_t,
+                self._lpips_params if use_lpips else None,
+                use_lpips=use_lpips, use_depth=use_depth)
             if densify and cfg.densify_from_iter <= it < cfg.densify_until_iter:
                 if (it + 1) % cfg.densification_interval == 0:
                     self.state = self._densify_step(self.state)
@@ -365,13 +421,20 @@ class GSTrainer:
 
     def finetune(self, start_iter: int = 0, epoch: int = 0,
                  disable_densification: bool = False,
-                 pseudo_cam_sampling_rate: float = 0.0, log_every: int = 0):
+                 pseudo_cam_sampling_rate: float = None, log_every: int = 0):
         """Refinement on input + pseudo (SVD) views
-        (reference ``gsTrainer.finetune``, diffusionGS.py:1640)."""
-        del pseudo_cam_sampling_rate  # pseudo cadence comes from config
-        loss = self._run_loop(start_iter, self.cfg.iterations,
-                              densify=not disable_densification,
-                              log_every=log_every)
+        (reference ``gsTrainer.finetune``, diffusionGS.py:1640).
+        ``pseudo_cam_sampling_rate`` overrides the config value for this
+        phase (semantics at TrainConfig.pseudo_cam_sampling_rate)."""
+        prev_rate = self.cfg.pseudo_cam_sampling_rate
+        if pseudo_cam_sampling_rate is not None:
+            self.cfg.pseudo_cam_sampling_rate = pseudo_cam_sampling_rate
+        try:
+            loss = self._run_loop(start_iter, self.cfg.iterations,
+                                  densify=not disable_densification,
+                                  log_every=log_every)
+        finally:
+            self.cfg.pseudo_cam_sampling_rate = prev_rate
         self.save_checkpoint(self.cfg.iterations, epoch=epoch)
         return loss
 
@@ -394,13 +457,21 @@ class GSTrainer:
                          method=self.cfg.rasterizer,
                          tile_cap=self.cfg.tile_cap)
 
+    def set_lpips(self, params: dict):
+        """Install converted LPIPS (VGG) params — see models/lpips.py.
+        The loss itself is gated by ``use_lpips_loss`` (toggled by the
+        orchestrator around refine, reference diffusionGS.py:1690,1697)."""
+        self._lpips_params = params
+
     def update_cameras(self, views: np.ndarray, poses: np.ndarray,
                        K: np.ndarray, cam_confidences=None,
-                       append: bool = True):
+                       append: bool = True, depths: np.ndarray = None):
         """Install pseudo views (SVD outputs) as confidence-weighted train
         targets (reference ``update_cameras``, diffusionGS.py:1631).
 
-        views: (V, H, W, 3) in [0,1]; poses: (V, 4, 4) w2c; K: (3, 3).
+        views: (V, H, W, 3) in [0,1]; poses: (V, 4, 4) w2c; K: (3, 3);
+        depths: optional (V, H, W) GS depths captured at generation time,
+        the supervision target for the svd_depth_warmup loss term.
         """
         v, h, w = views.shape[:3]
         if cam_confidences is None:
@@ -410,13 +481,20 @@ class GSTrainer:
         cams = [make_camera(K, poses[i], w, h, float(cam_confidences[i]))
                 for i in range(v)]
         new = make_viewset(cams, views)
+        new_depths = (jnp.asarray(depths, jnp.float32)
+                      if depths is not None else None)
         if append and self.pseudo_views is not None:
             imgs = jnp.concatenate([self.pseudo_views.images, new.images])
             cams_all = jax.tree.map(
                 lambda a, b: jnp.concatenate([a, b]),
                 self.pseudo_views.cameras, new.cameras)
             new = ViewSet(cameras=cams_all, images=imgs)
+            if new_depths is not None and self.pseudo_depths is not None:
+                new_depths = jnp.concatenate([self.pseudo_depths, new_depths])
+            else:
+                new_depths = None  # a mixed set can't index depths safely
         self.pseudo_views = new
+        self.pseudo_depths = new_depths
 
     def reset_optimizers(self):
         """Fresh Adam + stats (reference ``reset_optimizers``,
@@ -462,12 +540,37 @@ class GSTrainer:
             stats=DensifyStats.zeros(new.capacity),
             step=jnp.zeros((), jnp.int32), key=self.state.key)
 
-    def find_nearest_cam(self, query: Camera, cams: Camera) -> int:
-        """Index of the camera closest in position to ``query``
-        (reference ``find_nearest_cam``, diffusionGS.py:475-482)."""
+    def find_nearest_cam(self, query: Camera, cams: Camera,
+                         multi_view_max_angle: float = None,
+                         multi_view_min_dis: float = None,
+                         multi_view_max_dis: float = None) -> int:
+        """Index of the camera closest in position to ``query``, optionally
+        constrained to candidates within an angular/distance window
+        (reference ``find_nearest_cam(cams, pseudo_cams,
+        multi_view_max_angle, multi_view_min_dis, multi_view_max_dis)``,
+        diffusionGS.py:475-482). Angle is between the cameras' viewing
+        directions, in degrees; falls back to the unconstrained nearest
+        camera when no candidate satisfies the window."""
         pos = np.asarray(cams.position)
         q = np.asarray(query.position)
-        return int(np.linalg.norm(pos - q, axis=-1).argmin())
+        dist = np.linalg.norm(pos - q, axis=-1)
+        ok = np.ones(len(pos), dtype=bool)
+        if multi_view_min_dis is not None:
+            ok &= dist >= multi_view_min_dis
+        if multi_view_max_dis is not None:
+            ok &= dist <= multi_view_max_dis
+        if multi_view_max_angle is not None:
+            # viewing direction = third row of the w2c rotation (camera z
+            # axis in world coordinates)
+            dirs = np.asarray(cams.w2c)[:, 2, :3]
+            qdir = np.asarray(query.w2c)[2, :3]
+            cosang = (dirs @ qdir) / (
+                np.linalg.norm(dirs, axis=-1) * np.linalg.norm(qdir) + 1e-12)
+            ang = np.degrees(np.arccos(np.clip(cosang, -1.0, 1.0)))
+            ok &= ang <= multi_view_max_angle
+        if ok.any():
+            dist = np.where(ok, dist, np.inf)
+        return int(dist.argmin())
 
     # -- checkpointing (naming parity with reference, diffusionGS.py:1612-25)
 

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.warp import dilate_mask, downsample_mask_to_latent, inverse_warp
+from ..ops.warp import downsample_mask_to_latent, inverse_warp
 from ..utils import se3
 
 
@@ -85,7 +85,7 @@ def prepare_pair_conditioning(
         K: jnp.ndarray, poses: jnp.ndarray,
         image_l: jnp.ndarray, depth_l: jnp.ndarray,
         image_r: jnp.ndarray, depth_r: jnp.ndarray,
-        num_steps: int = 100, variant: str = "prob",
+        num_steps: int = 100,
         latent_downsample: int = 8) -> PairConditioning:
     """Build SVD conditioning for one endpoint pair.
 
@@ -93,6 +93,11 @@ def prepare_pair_conditioning(
     at the diffusion resolution. poses: (F, 4, 4) interpolated w2c chain
     (endpoints included). Source endpoint for warping: left for interior
     index < 12, right otherwise (reference :1416-1424).
+
+    The uncertainty-fused conditioning below is the reference's single live
+    path (``_interpolate_between_gs_v3`` serves every shipped densify_type —
+    LLFF, DTU and DL3DV alike, diffusionGS.py:244-250,821-862); the pipeline
+    variants differ only in the scheduler update, not the conditioning.
     """
     f = poses.shape[0]
     h, w = image_l.shape[:2]
@@ -109,23 +114,14 @@ def prepare_pair_conditioning(
         wres = inverse_warp(src_img, src_depth, rendered_depth, src_pose,
                             poses[i], K)
 
-        # hard mask path (used by the non-prob variant and debug artifacts)
-        hard = dilate_mask(~wres.mask_reproj, 5)
-
-        if variant == "prob":
-            warped = wres.warped_img
-            hole = (warped.sum(-1, keepdims=True) <= 0).astype(jnp.float32)
-            inten_conf = intensity_confidence(warped, rendered, hole)
-            reproj_uncert = 1.0 - wres.soft_mask_reproj
-            conf = inten_conf * (1.0 - reproj_uncert[..., None])
-            uncert = 1.0 - conf                              # (H, W, 1)
-            mask_lat = downsample_mask_to_latent(uncert[..., 0], lh, lw)
-            cond = jnp.where(uncert > 0.5, rendered, warped)
-        else:
-            mask_lat = downsample_mask_to_latent(
-                hard.astype(jnp.float32), lh, lw)
-            mask_lat = (mask_lat >= 0.2).astype(jnp.float32)
-            cond = wres.warped_img * (1.0 - hard[..., None])
+        warped = wres.warped_img
+        hole = (warped.sum(-1, keepdims=True) <= 0).astype(jnp.float32)
+        inten_conf = intensity_confidence(warped, rendered, hole)
+        reproj_uncert = 1.0 - wres.soft_mask_reproj
+        conf = inten_conf * (1.0 - reproj_uncert[..., None])
+        uncert = 1.0 - conf                              # (H, W, 1)
+        mask_lat = downsample_mask_to_latent(uncert[..., 0], lh, lw)
+        cond = jnp.where(uncert > 0.5, rendered, warped)
 
         conds.append(jnp.clip(cond, 0.0, 1.0))
         masks.append(mask_lat)

@@ -46,8 +46,13 @@ class DiffusionGSConfig:
     disable_densification: bool = False
     pseudo_cam_sampling_rate: float = 0.02
     perturb_interp_poses: bool = True
-    variant: str = "prob"            # uncertainty-fused conditioning
     replace_endpoints: bool = True
+    # LPIPS loss is toggled ON for the refine phase only (reference
+    # diffusionGS.py:1690,1697); needs GSTrainer.set_lpips() weights.
+    use_lpips_loss: bool = False
+    # capture GS depth at each pseudo pose for the svd_depth_warmup
+    # supervision term (see gs/trainer.py TrainConfig)
+    capture_pseudo_depth: bool = True
     # DUSt3R point-cloud densification (DL3DV path; <=1 disables, the
     # LLFF setting — reference diffusionGS.py:302, batch_llff_train.sh:39)
     num_views_for_pcd_densification: int = 1
@@ -159,7 +164,7 @@ class DiffusionGS:
             cond = C.prepare_pair_conditioning(
                 self.render_diffusion_res, self.diffusion_K, poses_j,
                 img_l, depth_l, img_r, depth_r,
-                num_steps=cfg.num_inference_steps, variant=cfg.variant)
+                num_steps=cfg.num_inference_steps)
 
             key = jax.random.PRNGKey(cfg.seed + 1000 * cycle + pi)
             frames = self.completion_fn(cond.image_start, cond.cond_images,
@@ -212,8 +217,17 @@ class DiffusionGS:
         c2w = np.asarray(se3_inverse(jnp.asarray(flat_poses[key_idx])))
         K_gs = np.asarray(jax.tree.map(lambda x: x[0],
                                        self.trainer.train_views.cameras).K)
-        xyz, rgb = self.dust3r_fn(jnp.asarray(flat_frames[key_idx]), c2w,
-                                  K_gs)
+        # DUSt3R input convention: width-512 frames with intrinsics scaled
+        # by 512/W (reference diffusionGS.py:394) — the public checkpoints
+        # are trained at this resolution.
+        scale = 512.0 / self.gs_width
+        h512 = max(int(round(self.gs_height * scale)), 1)
+        K512 = K_gs.copy()
+        K512[:2] *= scale
+        frames512 = jax.vmap(
+            lambda f: resize_bilinear(f, h512, 512, antialias=True))(
+                jnp.asarray(flat_frames[key_idx]))
+        xyz, rgb = self.dust3r_fn(frames512, c2w, K512)
         from ..cli.generate_pcd import remove_statistical_outliers
         xyz, rgb = remove_statistical_outliers(np.asarray(xyz),
                                                np.asarray(rgb))
@@ -233,7 +247,9 @@ class DiffusionGS:
 
     def refine_GS(self, frames, poses, cycle: int, load_ckpt: bool = False,
                   log_every: int = 0):
-        """Install pseudo views and finetune (reference :1610-1645)."""
+        """Install pseudo views and finetune (reference :1610-1645).
+        LPIPS is toggled on for the refine phase only (reference
+        :1690,1697)."""
         cfg = self.cfg
         tr = self.trainer
         if load_ckpt:
@@ -245,14 +261,24 @@ class DiffusionGS:
         flat_poses = np.asarray(poses).reshape(p * f, 4, 4)
         K_gs = np.asarray(jax.tree.map(lambda x: x[0],
                                        tr.train_views.cameras).K)
+        depths = None
+        if cfg.capture_pseudo_depth and tr.cfg.svd_depth_warmup > 0:
+            depths = np.stack([
+                np.asarray(self.render_gs_res(jnp.asarray(q))[1])
+                for q in flat_poses])
         tr.update_cameras(flat_frames, flat_poses, K_gs,
-                          cam_confidences=cfg.cam_confidence, append=False)
+                          cam_confidences=cfg.cam_confidence, append=False,
+                          depths=depths)
         tr.reset_optimizers()
         tr.reset_gs()
-        return tr.finetune(
-            0, cycle, disable_densification=cfg.disable_densification,
-            pseudo_cam_sampling_rate=cfg.pseudo_cam_sampling_rate,
-            log_every=log_every)
+        tr.use_lpips_loss = cfg.use_lpips_loss
+        try:
+            return tr.finetune(
+                0, cycle, disable_densification=cfg.disable_densification,
+                pseudo_cam_sampling_rate=cfg.pseudo_cam_sampling_rate,
+                log_every=log_every)
+        finally:
+            tr.use_lpips_loss = False
 
     def run(self, refine_cycles: Optional[int] = None, log_every: int = 0):
         """The full test-time loop (reference run(), :1668-1697)."""
