@@ -226,6 +226,20 @@ def rasterize(sg: ScreenGaussians, height: int, width: int,
     return RenderOutput(rgb=rgb, depth=depth, alpha=alpha)
 
 
+def _binned_gather(feats, order, idx, entry_valid):
+    """Per-tile feature compaction gather.
+
+    feats: (N, F) unsorted per-gaussian features; order: (N,) depth
+    permutation; idx: (T, cap) sorted-space slot indices. Returns
+    (T, cap, F) with invalid entries zeroed. The transpose (backward) is a
+    scatter-add of only T*cap entries — small enough that XLA:TPU's
+    serialized scatter is cheap; the forward compaction is the part that
+    must avoid a (T, N)-sized scatter (see rasterize_tiled).
+    """
+    g = feats[jax.lax.stop_gradient(order)[idx]]             # (T, cap, F)
+    return jnp.where(entry_valid[..., None], g, 0.0)
+
+
 @functools.partial(jax.jit, static_argnames=("height", "width", "tile_h",
                                               "tile_w", "cap", "chunk",
                                               "group"))
@@ -241,8 +255,14 @@ def rasterize_tiled(sg: ScreenGaussians, height: int, width: int,
     most ``cap`` entries (overflow drops the REARMOST entries — the ones a
     saturated tile cannot see; size cap generously). Pixel coordinates are
     tile-local (the Gaussian power is translation invariant), which keeps
-    the quadratic pixel features small. Everything stays differentiable:
-    the per-tile gather transposes to a scatter-add in the backward pass.
+    the quadratic pixel features small.
+
+    Scatter-free by construction: XLA:TPU serializes general scatters, so
+    both the compaction (forward) and the gather transpose (backward) are
+    expressed as gathers — slot s of tile t is found by a batched
+    searchsorted over the per-tile hit cumsum, and the backward of the
+    per-tile feature gather is a (T, N) masked gather + reduction inside a
+    custom VJP (``_binned_gather``).
     """
     n = sg.center.shape[0]
     ty = -(-height // tile_h)
@@ -251,36 +271,47 @@ def rasterize_tiled(sg: ScreenGaussians, height: int, width: int,
 
     depth_key = jnp.where(sg.valid & (sg.opacity > 0), sg.depth, jnp.inf)
     order = jnp.argsort(depth_key)
-    G, C = _gaussian_matmul_features(sg)
-    G, C = G[order], C[order]
-    O = sg.opacity[order]
-    center = sg.center[order]
-    radius = jnp.where(sg.valid, sg.radius, 0.0)[order]
-    valid = sg.valid[order] & (O > 0)
+    # the bbox/hit computation is integer-like bookkeeping — no gradients
+    # flow through it (they flow through the gathered features below)
+    center_s = jax.lax.stop_gradient(sg.center)[order]
+    radius_s = jax.lax.stop_gradient(
+        jnp.where(sg.valid, sg.radius, 0.0))[order]
+    valid_s = (sg.valid & (sg.opacity > 0))[order]
 
-    # tile intersection masks: (T, N)
-    x0 = center[:, 0] - radius
-    x1 = center[:, 0] + radius
-    y0 = center[:, 1] - radius
-    y1 = center[:, 1] + radius
+    # tile intersection masks in depth-sorted column space: (T, N)
+    x0 = center_s[:, 0] - radius_s
+    x1 = center_s[:, 0] + radius_s
+    y0 = center_s[:, 1] - radius_s
+    y1 = center_s[:, 1] + radius_s
     tile_ix = jnp.arange(n_tiles) % tx
     tile_iy = jnp.arange(n_tiles) // tx
     tx0 = (tile_ix * tile_w).astype(jnp.float32)[:, None]
     ty0 = (tile_iy * tile_h).astype(jnp.float32)[:, None]
-    hit = (valid[None, :]
+    hit = (valid_s[None, :]
            & (x1[None, :] >= tx0) & (x0[None, :] < tx0 + tile_w)
            & (y1[None, :] >= ty0) & (y0[None, :] < ty0 + tile_h))
 
-    # stable compaction keeps depth order inside each tile list
+    # Stable compaction (keeps depth order inside each tile list) without
+    # a scatter: slot s of tile t holds the gaussian at the first index
+    # where the inclusive hit-cumsum reaches s+1.
     cap = min(cap, n)
-    idx = jnp.argsort(~hit, axis=1, stable=True)[:, :cap]      # (T, cap)
-    counts = hit.sum(axis=1)
+    hit_i = hit.astype(jnp.int32)
+    cs = jnp.cumsum(hit_i, axis=1)                             # inclusive
+    counts = cs[:, -1]
+    slots = jnp.arange(1, cap + 1, dtype=jnp.int32)
+    idx = jax.vmap(lambda row: jnp.searchsorted(row, slots,
+                                                side="left"))(cs)
+    idx = jnp.minimum(idx, n - 1)                              # (T, cap)
     entry_valid = jnp.arange(cap)[None, :] < jnp.minimum(counts, cap)[:, None]
 
-    tG = jnp.where(entry_valid[..., None], G[idx], 0.0)        # (T, cap, 6)
-    tC = jnp.where(entry_valid[..., None], C[idx], 0.0)
-    tO = jnp.where(entry_valid, O[idx], 0.0)
-    tCx = center[idx]                                          # (T, cap, 2)
+    G, C = _gaussian_matmul_features(sg)                       # unsorted
+    feats = jnp.concatenate([G, C, sg.opacity[:, None],
+                             sg.center], axis=-1)              # (N, 14)
+    tF = _binned_gather(feats, order, idx, entry_valid)
+    tG = tF[..., 0:6]                                          # (T, cap, 6)
+    tC = tF[..., 6:11]
+    tO = tF[..., 11]
+    tCx = tF[..., 12:14]                                       # (T, cap, 2)
 
     # shift gaussian features to tile-local coordinates: G depends on the
     # center only through terms linear/quadratic in (gx, gy); rebuilding
