@@ -48,19 +48,25 @@ from ..utils.se3 import se3_inverse
 def rope_2d(q: jnp.ndarray, k: jnp.ndarray, positions: jnp.ndarray,
             base: float = 100.0):
     """Apply 2D RoPE. q/k: (B, heads, N, D); positions: (B, N, 2) (y, x).
-    Half the head dim rotates with y, half with x."""
+    Half the head dim rotates with y, half with x.
+
+    Convention matches the public CroCo/DUSt3R ``curope`` kernel so
+    converted checkpoints are bit-compatible: within each positional half,
+    rotation uses the rotate-half form (x*cos + [-x2, x1]*sin with the
+    cos/sin table duplicated across the two sub-halves), NOT interleaved
+    pairs."""
     b, h, n, d = q.shape
     half = d // 2
 
     def rot(x, pos):
         dd = x.shape[-1]
-        freqs = 1.0 / (base ** (jnp.arange(0, dd, 2) / dd))
-        ang = pos[..., None] * freqs                     # (B, N, dd/2)
-        cos = jnp.cos(ang)[:, None]
-        sin = jnp.sin(ang)[:, None]
-        x1, x2 = x[..., 0::2], x[..., 1::2]
-        out = jnp.stack([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
-        return out.reshape(x.shape)
+        inv = 1.0 / (base ** (jnp.arange(0, dd, 2) / dd))
+        ang = pos[..., None] * inv                       # (B, N, dd/2)
+        cos = jnp.concatenate([jnp.cos(ang), jnp.cos(ang)], -1)[:, None]
+        sin = jnp.concatenate([jnp.sin(ang), jnp.sin(ang)], -1)[:, None]
+        x1, x2 = x[..., :dd // 2], x[..., dd // 2:]
+        rot_half = jnp.concatenate([-x2, x1], axis=-1)
+        return x * cos + rot_half * sin
 
     def apply(x):
         return jnp.concatenate(
@@ -137,8 +143,11 @@ class DecoderBlock(nn.Module):
         x = x + RopeAttention(self.heads, dtype=self.dtype, name="attn")(
             h, pos_q=pos, pos_k=pos)
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        # the other view's tokens get their own norm (CroCo norm_y) —
+        # required for converted public checkpoints to be faithful
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm_y")(other)
         x = x + RopeAttention(self.heads, dtype=self.dtype,
-                              name="cross_attn")(h, context=other,
+                              name="cross_attn")(h, context=y,
                                                  pos_q=pos, pos_k=pos_other)
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm3")(x)
         return x + Mlp(dtype=self.dtype, name="mlp")(h)
@@ -202,15 +211,102 @@ class Dust3R(nn.Module):
                            name=f"{name}_proj")(x)
             out = out.reshape(b, gh, gw, self.patch, self.patch, 4)
             out = out.transpose(0, 1, 3, 2, 4, 5).reshape(b, H, W, 4)
-            # DUSt3R post-process: exp-norm directions, softplus conf
+            # DUSt3R post-process (public postprocess.py semantics):
+            # exp-norm directions; conf mode ('exp', 1, inf) = 1 + exp(x)
             pts, conf = out[..., :3], out[..., 3]
             norm = jnp.linalg.norm(pts, axis=-1, keepdims=True)
             pts = pts / jnp.maximum(norm, 1e-8) * jnp.expm1(norm)
-            return pts, 1.0 + jax.nn.softplus(conf)
+            return pts, 1.0 + jnp.exp(jnp.minimum(conf, 30.0))
 
         pts1, conf1 = head(d1, "head1")
         pts2, conf2 = head(d2, "head2")
         return {"pts1": pts1, "conf1": conf1, "pts2": pts2, "conf2": conf2}
+
+
+# ---------------------------------------------------------------------------
+# public-checkpoint weight conversion
+# ---------------------------------------------------------------------------
+
+def convert_dust3r_torch(state_dict: dict) -> dict:
+    """Map the public DUSt3R checkpoint layout (naver/dust3r,
+    ``DUSt3R_ViTLarge_BaseDecoder_512_linear`` — CroCo ViT encoder with
+    fused qkv, twin decoders ``dec_blocks``/``dec_blocks2`` with separate
+    cross projq/projk/projv, shared ``dec_norm``, ``downstream_head{1,2}``
+    linear heads) onto this module's param tree. Accepts numpy-valued
+    state dicts; unknown keys (mask_token, DPT heads, ...) are ignored.
+    """
+    import numpy as np
+
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    out: dict = {}
+
+    def put(path, value):
+        node = out
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = np.ascontiguousarray(value.astype(np.float32))
+
+    def ln(src, dst):
+        put(dst + ("scale",), sd[src + ".weight"])
+        put(dst + ("bias",), sd[src + ".bias"])
+
+    def dense(src, dst):
+        put(dst + ("kernel",), sd[src + ".weight"].T)
+        if src + ".bias" in sd:
+            put(dst + ("bias",), sd[src + ".bias"])
+
+    def qkv(src, dst):
+        w = sd[src + ".weight"]          # (3d, d)
+        b = sd.get(src + ".bias")
+        d = w.shape[1]
+        for i, name in enumerate(("q", "k", "v")):
+            put(dst + (name, "kernel"), w[i * d:(i + 1) * d].T)
+            if b is not None:
+                put(dst + (name, "bias"), b[i * d:(i + 1) * d])
+
+    put(("patch_embed", "kernel"),
+        sd["patch_embed.proj.weight"].transpose(2, 3, 1, 0))
+    put(("patch_embed", "bias"), sd["patch_embed.proj.bias"])
+
+    n_enc = 1 + max(int(k.split(".")[1]) for k in sd
+                    if k.startswith("enc_blocks."))
+    for i in range(n_enc):
+        src = f"enc_blocks.{i}"
+        dst = (f"enc_{i}",)
+        ln(src + ".norm1", dst + ("norm1",))
+        qkv(src + ".attn.qkv", dst + ("attn",))
+        dense(src + ".attn.proj", dst + ("attn", "proj"))
+        ln(src + ".norm2", dst + ("norm2",))
+        dense(src + ".mlp.fc1", dst + ("mlp", "fc1"))
+        dense(src + ".mlp.fc2", dst + ("mlp", "fc2"))
+    ln("enc_norm", ("enc_norm",))
+    dense("decoder_embed", ("decoder_embed",))
+
+    n_dec = 1 + max(int(k.split(".")[1]) for k in sd
+                    if k.startswith("dec_blocks."))
+    for stream, prefix in (("dec_blocks", "dec1"), ("dec_blocks2", "dec2")):
+        for i in range(n_dec):
+            src = f"{stream}.{i}"
+            dst = (f"{prefix}_{i}",)
+            ln(src + ".norm1", dst + ("norm1",))
+            qkv(src + ".attn.qkv", dst + ("attn",))
+            dense(src + ".attn.proj", dst + ("attn", "proj"))
+            ln(src + ".norm2", dst + ("norm2",))
+            ln(src + ".norm_y", dst + ("norm_y",))
+            dense(src + ".cross_attn.projq", dst + ("cross_attn", "q"))
+            dense(src + ".cross_attn.projk", dst + ("cross_attn", "k"))
+            dense(src + ".cross_attn.projv", dst + ("cross_attn", "v"))
+            dense(src + ".cross_attn.proj", dst + ("cross_attn", "proj"))
+            ln(src + ".norm3", dst + ("norm3",))
+            dense(src + ".mlp.fc1", dst + ("mlp", "fc1"))
+            dense(src + ".mlp.fc2", dst + ("mlp", "fc2"))
+
+    # shared final decoder norm feeds both heads (CroCo dec_norm)
+    ln("dec_norm", ("head1_norm",))
+    ln("dec_norm", ("head2_norm",))
+    dense("downstream_head1.proj", ("head1_proj",))
+    dense("downstream_head2.proj", ("head2_proj",))
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -102,3 +103,100 @@ def test_gmflow_shapes_and_selfmatch():
     flow = m.apply(params, img, img)
     assert flow.shape == (1, 32, 32, 2)
     assert np.isfinite(np.asarray(flow)).all()
+
+
+def _synthetic_dust3r_sd(enc_dim, enc_depth, enc_heads, dec_dim, dec_depth,
+                         patch=16):
+    """A random state dict in the PUBLIC DUSt3R checkpoint layout
+    (CroCo ViT + twin decoders + linear heads) at the given config."""
+    rng = np.random.default_rng(0)
+
+    def t(*shape):
+        return rng.normal(0, 0.02, shape).astype(np.float32)
+
+    sd = {"patch_embed.proj.weight": t(enc_dim, 3, patch, patch),
+          "patch_embed.proj.bias": t(enc_dim),
+          "mask_token": t(1, 1, enc_dim),             # ignored
+          "enc_norm.weight": t(enc_dim), "enc_norm.bias": t(enc_dim),
+          "decoder_embed.weight": t(dec_dim, enc_dim),
+          "decoder_embed.bias": t(dec_dim),
+          "dec_norm.weight": t(dec_dim), "dec_norm.bias": t(dec_dim),
+          "downstream_head1.proj.weight": t(patch * patch * 4, dec_dim),
+          "downstream_head1.proj.bias": t(patch * patch * 4),
+          "downstream_head2.proj.weight": t(patch * patch * 4, dec_dim),
+          "downstream_head2.proj.bias": t(patch * patch * 4)}
+    for i in range(enc_depth):
+        p = f"enc_blocks.{i}"
+        sd.update({f"{p}.norm1.weight": t(enc_dim),
+                   f"{p}.norm1.bias": t(enc_dim),
+                   f"{p}.attn.qkv.weight": t(3 * enc_dim, enc_dim),
+                   f"{p}.attn.qkv.bias": t(3 * enc_dim),
+                   f"{p}.attn.proj.weight": t(enc_dim, enc_dim),
+                   f"{p}.attn.proj.bias": t(enc_dim),
+                   f"{p}.norm2.weight": t(enc_dim),
+                   f"{p}.norm2.bias": t(enc_dim),
+                   f"{p}.mlp.fc1.weight": t(4 * enc_dim, enc_dim),
+                   f"{p}.mlp.fc1.bias": t(4 * enc_dim),
+                   f"{p}.mlp.fc2.weight": t(enc_dim, 4 * enc_dim),
+                   f"{p}.mlp.fc2.bias": t(enc_dim)})
+    for stream in ("dec_blocks", "dec_blocks2"):
+        for i in range(dec_depth):
+            p = f"{stream}.{i}"
+            sd.update({f"{p}.norm1.weight": t(dec_dim),
+                       f"{p}.norm1.bias": t(dec_dim),
+                       f"{p}.attn.qkv.weight": t(3 * dec_dim, dec_dim),
+                       f"{p}.attn.qkv.bias": t(3 * dec_dim),
+                       f"{p}.attn.proj.weight": t(dec_dim, dec_dim),
+                       f"{p}.attn.proj.bias": t(dec_dim),
+                       f"{p}.norm2.weight": t(dec_dim),
+                       f"{p}.norm2.bias": t(dec_dim),
+                       f"{p}.norm_y.weight": t(dec_dim),
+                       f"{p}.norm_y.bias": t(dec_dim),
+                       f"{p}.cross_attn.projq.weight": t(dec_dim, dec_dim),
+                       f"{p}.cross_attn.projq.bias": t(dec_dim),
+                       f"{p}.cross_attn.projk.weight": t(dec_dim, dec_dim),
+                       f"{p}.cross_attn.projk.bias": t(dec_dim),
+                       f"{p}.cross_attn.projv.weight": t(dec_dim, dec_dim),
+                       f"{p}.cross_attn.projv.bias": t(dec_dim),
+                       f"{p}.cross_attn.proj.weight": t(dec_dim, dec_dim),
+                       f"{p}.cross_attn.proj.bias": t(dec_dim),
+                       f"{p}.norm3.weight": t(dec_dim),
+                       f"{p}.norm3.bias": t(dec_dim),
+                       f"{p}.mlp.fc1.weight": t(4 * dec_dim, dec_dim),
+                       f"{p}.mlp.fc1.bias": t(4 * dec_dim),
+                       f"{p}.mlp.fc2.weight": t(dec_dim, 4 * dec_dim),
+                       f"{p}.mlp.fc2.bias": t(dec_dim)})
+    return sd
+
+
+def test_dust3r_converter_tree_match_small():
+    from syn3r_tpu.models.convert import assert_tree_match
+    from syn3r_tpu.vision.dust3r import Dust3R, convert_dust3r_torch
+    sd = _synthetic_dust3r_sd(enc_dim=64, enc_depth=2, enc_heads=4,
+                              dec_dim=48, dec_depth=2)
+    params = convert_dust3r_torch(sd)
+    model = Dust3R(enc_dim=64, enc_depth=2, enc_heads=4, dec_dim=48,
+                   dec_depth=2, dec_heads=4)
+    img = jnp.zeros((1, 32, 48, 3))
+    shapes = jax.eval_shape(lambda k: model.init(k, img, img),
+                            jax.random.PRNGKey(0))
+    assert_tree_match(params, shapes["params"])
+    # converted weights actually run
+    out = model.apply({"params": params}, img + 0.5, img + 0.4)
+    assert np.isfinite(np.asarray(out["pts1"])).all()
+    assert (np.asarray(out["conf1"]) >= 1.0).all()
+
+
+@pytest.mark.slow
+def test_dust3r_converter_tree_match_full():
+    """Full ViT-Large/Base-decoder config of the public 512 checkpoint."""
+    from syn3r_tpu.models.convert import assert_tree_match
+    from syn3r_tpu.vision.dust3r import Dust3R, convert_dust3r_torch
+    sd = _synthetic_dust3r_sd(enc_dim=1024, enc_depth=24, enc_heads=16,
+                              dec_dim=768, dec_depth=12)
+    params = convert_dust3r_torch(sd)
+    model = Dust3R()       # defaults ARE the ViT-L/base config
+    img = jnp.zeros((1, 384, 512, 3))
+    shapes = jax.eval_shape(lambda k: model.init(k, img, img),
+                            jax.random.PRNGKey(0))
+    assert_tree_match(params, shapes["params"])
