@@ -62,6 +62,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lpips_weights", default=None,
                    help="converted LPIPS VGG params (.npz); enables the "
                         "LPIPS refine loss (reference opt.use_lpips_loss)")
+    p.add_argument("--rasterizer", default="pallas",
+                   choices=["pallas", "tiled", "dense"],
+                   help="pallas = in-VMEM composite kernels (production "
+                        "on TPU); tiled = XLA composite; dense = exact "
+                        "reference path")
+    p.add_argument("--tile_cap", type=int, default=1024)
     p.add_argument("--disable_densification", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log_every", type=int, default=1000)
@@ -99,7 +105,8 @@ def main(argv=None):
         start_sample_svd_iter=args.start_sample_svd_frame,
         pseudo_cam_sampling_rate=args.pseudo_cam_sampling_rate,
         svd_depth_warmup=args.svd_depth_warmup,
-        lpips_weight=args.lpips_weight, seed=args.seed)
+        lpips_weight=args.lpips_weight,
+        rasterizer=args.rasterizer, tile_cap=args.tile_cap, seed=args.seed)
     trainer = GSTrainer(views, cfg, init, model_path=args.model_path,
                         test_views=test_views)
     if args.lpips_weights:
@@ -140,10 +147,16 @@ def _load_svd_completion(args):
     from ..models.vae import AutoencoderKLTemporalDecoder
     from ..utils.params import load_params
 
+    import jax
+
     d = args.svd_weights
     models = SVDModels(
         unet=UNetSpatioTemporalConditionModel(dtype=jnp.bfloat16),
-        unet_params=load_params(os.path.join(d, "unet.npz")),
+        # bf16 weights: the reference loads the fp16 checkpoint
+        # (diffusionGS.py:1089); halves HBM so the full-res guided vjp fits
+        unet_params=jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16),
+            load_params(os.path.join(d, "unet.npz"))),
         vae=AutoencoderKLTemporalDecoder(),
         vae_params=load_params(os.path.join(d, "vae.npz")),
         clip=CLIPVisionModelWithProjection(dtype=jnp.bfloat16),

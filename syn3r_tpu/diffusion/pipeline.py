@@ -142,6 +142,16 @@ class GuidedSVDPipeline:
                                 ehs.astype(dt), tids)
         return out.astype(jnp.float32)
 
+    def _unet_remat(self, sample, t, ehs, tids):
+        """Per-block-remat variant for the gradient-guidance vjp: bounds
+        live activations to one UNet block so the full-resolution
+        (25 x 72x128) guided step fits HBM."""
+        dt = self.cfg.compute_dtype
+        unet = self.m.unet.clone(remat_blocks=True)
+        out = unet.apply(self.m.unet_params, sample.astype(dt), t,
+                         ehs.astype(dt), tids)
+        return out.astype(jnp.float32)
+
     @functools.partial(jax.jit, static_argnames=("self",))
     def denoise(self, noise_latents, clip_start, clip_end, cond_latents,
                 mask, lambda_ts):
@@ -159,7 +169,7 @@ class GuidedSVDPipeline:
         weight_fw = jnp.linspace(1.0, 0.0, f)[:, None, None, None]
         tids1 = self._added_time_ids(1)
         tids2 = self._added_time_ids(2)
-        unet_remat = jax.checkpoint(self._unet, static_argnums=())
+        unet_remat = self._unet_remat
 
         lat_start_f = jnp.repeat(cond_latents[:1] * FACTOR_S, f, axis=0)
         lat_end_f = jnp.repeat(cond_latents[-1:] * FACTOR_S, f, axis=0)

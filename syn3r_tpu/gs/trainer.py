@@ -251,10 +251,12 @@ class GSTrainer:
             st = G.with_params(g, p)
             sg = rz.project_gaussians(st, camera, sh_degree=cfg.sh_degree,
                                       center_offset=offset)
-            if cfg.rasterizer == "tiled":
-                out = rz.rasterize_tiled(sg, camera.height, camera.width,
-                                         cap=cfg.tile_cap, bg=bg,
-                                         chunk=min(cfg.chunk, cfg.tile_cap))
+            if cfg.rasterizer in ("tiled", "pallas"):
+                out = rz.rasterize_tiled(
+                    sg, camera.height, camera.width, cap=cfg.tile_cap,
+                    bg=bg, chunk=min(cfg.chunk, cfg.tile_cap),
+                    composite="pallas" if cfg.rasterizer == "pallas"
+                    else "xla")
             else:
                 out = rz.rasterize(sg, camera.height, camera.width, bg=bg,
                                    chunk=cfg.chunk, group=cfg.group)

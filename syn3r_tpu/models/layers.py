@@ -57,15 +57,20 @@ def _attention_dense(q, k, v, scale):
 
 
 def _attention_chunked(q, k, v, scale, q_chunk: int = 512):
-    """Memory-bounded exact attention: scan over query chunks, full kv.
-    The fallback for long sequences off-TPU (tests run on CPU)."""
+    """Memory-bounded exact attention: scan over query chunks, full kv;
+    each chunk rematerializes in the backward pass (without the checkpoint
+    the scan's vjp stacks every chunk's softmax — gigabytes at SVD's
+    2304-token mid levels). The fallback where flash attention's block
+    divisibility doesn't hold, and for tests off-TPU."""
     b, h, sq, d = q.shape
     n = -(-sq // q_chunk)
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, n * q_chunk - sq), (0, 0)))
     qc = qp.reshape(b, h, n, q_chunk, d).transpose(2, 0, 1, 3, 4)
+    dense = jax.checkpoint(
+        lambda qi, kk, vv: _attention_dense(qi, kk, vv, scale))
 
     def body(_, qi):
-        return None, _attention_dense(qi, k, v, scale)
+        return None, dense(qi, k, v)
 
     _, out = jax.lax.scan(body, None, qc)
     out = out.transpose(1, 2, 0, 3, 4).reshape(b, h, n * q_chunk, d)
@@ -80,7 +85,7 @@ def _attention(q, k, v, scale):
     Pallas flash-attention kernel; elsewhere as chunked exact attention.
     """
     sq, sk = q.shape[2], k.shape[2]
-    if sq < 2048 and sk < 2048:
+    if sq < 512 and sk < 512:
         return _attention_dense(q, k, v, scale)
     platform = jax.devices()[0].platform
     if platform in ("tpu", "axon") and sq == sk and sq % 1024 == 0:

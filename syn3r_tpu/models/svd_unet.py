@@ -161,19 +161,31 @@ class TransformerSpatioTemporalModel(nn.Module):
         return h.reshape(bf, height, width, channels) + residual
 
 
+def _layer_classes(remat: bool):
+    """(ResBlock, Transformer) classes, layer-granular remat when asked.
+    static_argnums index the lifted core_fn (arg 0 = module scope), so the
+    num_frames int of both layer types sits at index 3."""
+    if remat:
+        return (nn.remat(SpatioTemporalResBlock, static_argnums=(3,)),
+                nn.remat(TransformerSpatioTemporalModel, static_argnums=(3,)))
+    return SpatioTemporalResBlock, TransformerSpatioTemporalModel
+
+
 class DownBlockSpatioTemporal(nn.Module):
     out_channels: int
     num_layers: int = 2
     add_downsample: bool = True
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, temb, num_frames: int):
+        Res, _ = _layer_classes(self.remat)
         outputs = []
         for i in range(self.num_layers):
-            x = SpatioTemporalResBlock(self.out_channels, eps=1e-5,
-                                       dtype=self.dtype,
-                                       name=f"resnets_{i}")(x, temb, num_frames)
+            x = Res(self.out_channels, eps=1e-5,
+                    dtype=self.dtype,
+                    name=f"resnets_{i}")(x, temb, num_frames)
             outputs.append(x)
         if self.add_downsample:
             x = Downsample2D(self.out_channels, dtype=self.dtype,
@@ -187,16 +199,18 @@ class CrossAttnDownBlockSpatioTemporal(nn.Module):
     heads: int
     num_layers: int = 2
     add_downsample: bool = True
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, temb, context, num_frames: int):
+        Res, Attn = _layer_classes(self.remat)
         outputs = []
         for i in range(self.num_layers):
-            x = SpatioTemporalResBlock(self.out_channels, eps=1e-6,
-                                       dtype=self.dtype,
-                                       name=f"resnets_{i}")(x, temb, num_frames)
-            x = TransformerSpatioTemporalModel(
+            x = Res(self.out_channels, eps=1e-6,
+                    dtype=self.dtype,
+                    name=f"resnets_{i}")(x, temb, num_frames)
+            x = Attn(
                 self.heads, self.out_channels // self.heads,
                 dtype=self.dtype, name=f"attentions_{i}")(x, context,
                                                           num_frames)
@@ -211,17 +225,19 @@ class CrossAttnDownBlockSpatioTemporal(nn.Module):
 class UNetMidBlockSpatioTemporal(nn.Module):
     channels: int
     heads: int
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, temb, context, num_frames: int):
-        x = SpatioTemporalResBlock(self.channels, eps=1e-5, dtype=self.dtype,
-                                   name="resnets_0")(x, temb, num_frames)
-        x = TransformerSpatioTemporalModel(
+        Res, Attn = _layer_classes(self.remat)
+        x = Res(self.channels, eps=1e-5, dtype=self.dtype,
+                name="resnets_0")(x, temb, num_frames)
+        x = Attn(
             self.heads, self.channels // self.heads, dtype=self.dtype,
             name="attentions_0")(x, context, num_frames)
-        x = SpatioTemporalResBlock(self.channels, eps=1e-5, dtype=self.dtype,
-                                   name="resnets_1")(x, temb, num_frames)
+        x = Res(self.channels, eps=1e-5, dtype=self.dtype,
+                name="resnets_1")(x, temb, num_frames)
         return x
 
 
@@ -229,15 +245,17 @@ class UpBlockSpatioTemporal(nn.Module):
     out_channels: int
     num_layers: int = 3
     add_upsample: bool = True
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, res_states, temb, num_frames: int):
+        Res, _ = _layer_classes(self.remat)
         for i in range(self.num_layers):
             x = jnp.concatenate([x, res_states.pop()], axis=-1)
-            x = SpatioTemporalResBlock(self.out_channels, eps=1e-6,
-                                       dtype=self.dtype,
-                                       name=f"resnets_{i}")(x, temb, num_frames)
+            x = Res(self.out_channels, eps=1e-6,
+                    dtype=self.dtype,
+                    name=f"resnets_{i}")(x, temb, num_frames)
         if self.add_upsample:
             x = Upsample2D(self.out_channels, dtype=self.dtype,
                            name="upsamplers_0")(x)
@@ -249,16 +267,18 @@ class CrossAttnUpBlockSpatioTemporal(nn.Module):
     heads: int
     num_layers: int = 3
     add_upsample: bool = True
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, res_states, temb, context, num_frames: int):
+        Res, Attn = _layer_classes(self.remat)
         for i in range(self.num_layers):
             x = jnp.concatenate([x, res_states.pop()], axis=-1)
-            x = SpatioTemporalResBlock(self.out_channels, eps=1e-6,
-                                       dtype=self.dtype,
-                                       name=f"resnets_{i}")(x, temb, num_frames)
-            x = TransformerSpatioTemporalModel(
+            x = Res(self.out_channels, eps=1e-6,
+                    dtype=self.dtype,
+                    name=f"resnets_{i}")(x, temb, num_frames)
+            x = Attn(
                 self.heads, self.out_channels // self.heads,
                 dtype=self.dtype, name=f"attentions_{i}")(x, context,
                                                           num_frames)
@@ -282,6 +302,11 @@ class UNetSpatioTemporalConditionModel(nn.Module):
     layers_per_block: int = 2
     num_attention_heads: Sequence[int] = (5, 10, 20, 20)
     addition_time_embed_dim: int = 256
+    # per-block rematerialization: bounds the vjp's live activations to one
+    # block at a time — required for the full-resolution guided-denoise
+    # gradient (25 x 72x128) to fit HBM (a single whole-model checkpoint
+    # still materializes the full activation chain during its recompute).
+    remat_blocks: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -308,24 +333,45 @@ class UNetSpatioTemporalConditionModel(nn.Module):
         x = nn.Conv(ch[0], (3, 3), padding=1, dtype=self.dtype,
                     name="conv_in")(x)
 
+        if self.remat_blocks:
+            # static_argnums index the lifted core_fn whose arg 0 is the
+            # module scope, so the num_frames int sits at (position in
+            # __call__) + 1; it must stay static (reshape by frames).
+            CADown = nn.remat(CrossAttnDownBlockSpatioTemporal,
+                              static_argnums=(4,))
+            Down = nn.remat(DownBlockSpatioTemporal, static_argnums=(3,))
+            Mid = nn.remat(UNetMidBlockSpatioTemporal, static_argnums=(4,))
+            Up = nn.remat(UpBlockSpatioTemporal, static_argnums=(4,))
+            CAUp = nn.remat(CrossAttnUpBlockSpatioTemporal,
+                            static_argnums=(5,))
+        else:
+            CADown = CrossAttnDownBlockSpatioTemporal
+            Down = DownBlockSpatioTemporal
+            Mid = UNetMidBlockSpatioTemporal
+            Up = UpBlockSpatioTemporal
+            CAUp = CrossAttnUpBlockSpatioTemporal
+
         res_stack = [x]
         n_blocks = len(ch)
         for i in range(n_blocks):
             if i < n_blocks - 1:
-                x, outs = CrossAttnDownBlockSpatioTemporal(
+                x, outs = CADown(
                     ch[i], self.num_attention_heads[i],
                     num_layers=self.layers_per_block,
-                    add_downsample=True, dtype=self.dtype,
+                    add_downsample=True, remat=self.remat_blocks,
+                    dtype=self.dtype,
                     name=f"down_blocks_{i}")(x, emb, context, f)
             else:
-                x, outs = DownBlockSpatioTemporal(
+                x, outs = Down(
                     ch[i], num_layers=self.layers_per_block,
-                    add_downsample=False, dtype=self.dtype,
+                    add_downsample=False, remat=self.remat_blocks,
+                    dtype=self.dtype,
                     name=f"down_blocks_{i}")(x, emb, f)
             res_stack.extend(outs)
 
-        x = UNetMidBlockSpatioTemporal(
-            ch[-1], self.num_attention_heads[-1], dtype=self.dtype,
+        x = Mid(
+            ch[-1], self.num_attention_heads[-1],
+            remat=self.remat_blocks, dtype=self.dtype,
             name="mid_block")(x, emb, context, f)
 
         rev_ch = list(reversed(ch))
@@ -335,13 +381,15 @@ class UNetSpatioTemporalConditionModel(nn.Module):
             n_lay = self.layers_per_block + 1
             res = [res_stack.pop() for _ in range(n_lay)][::-1]
             if i == 0:
-                x = UpBlockSpatioTemporal(
+                x = Up(
                     rev_ch[i], num_layers=n_lay, add_upsample=not is_final,
-                    dtype=self.dtype, name=f"up_blocks_{i}")(x, res, emb, f)
+                    remat=self.remat_blocks, dtype=self.dtype,
+                    name=f"up_blocks_{i}")(x, res, emb, f)
             else:
-                x = CrossAttnUpBlockSpatioTemporal(
+                x = CAUp(
                     rev_ch[i], rev_heads[i], num_layers=n_lay,
-                    add_upsample=not is_final, dtype=self.dtype,
+                    add_upsample=not is_final, remat=self.remat_blocks,
+                    dtype=self.dtype,
                     name=f"up_blocks_{i}")(x, res, emb, context, f)
 
         x = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype,

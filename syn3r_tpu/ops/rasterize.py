@@ -242,11 +242,12 @@ def _binned_gather(feats, order, idx, entry_valid):
 
 @functools.partial(jax.jit, static_argnames=("height", "width", "tile_h",
                                               "tile_w", "cap", "chunk",
-                                              "group"))
+                                              "group", "composite"))
 def rasterize_tiled(sg: ScreenGaussians, height: int, width: int,
                     tile_h: int = 32, tile_w: int = 64, cap: int = 1024,
                     chunk: int = 256, group: int = 2,
-                    bg: jnp.ndarray | None = None) -> RenderOutput:
+                    bg: jnp.ndarray | None = None,
+                    composite: str = "xla") -> RenderOutput:
     """Tile-culled rasterization — the production path.
 
     The dense path evaluates every Gaussian against every pixel; here each
@@ -297,11 +298,17 @@ def rasterize_tiled(sg: ScreenGaussians, height: int, width: int,
     cap = min(cap, n)
     hit_i = hit.astype(jnp.int32)
     cs = jnp.cumsum(hit_i, axis=1)                             # inclusive
+    # Materialize the (T, N) cumsum exactly once: without the barrier
+    # XLA's fusion duplication recomputes hit+cumsum inside every one of
+    # the ~8 searchsorted/gather consumer fusions (measured 80 ms/step of
+    # pure recompute at N=65k when an SSIM conv shares the graph).
+    cs = jax.lax.optimization_barrier(cs)
     counts = cs[:, -1]
     slots = jnp.arange(1, cap + 1, dtype=jnp.int32)
     idx = jax.vmap(lambda row: jnp.searchsorted(row, slots,
                                                 side="left"))(cs)
     idx = jnp.minimum(idx, n - 1)                              # (T, cap)
+    idx = jax.lax.optimization_barrier(idx)
     entry_valid = jnp.arange(cap)[None, :] < jnp.minimum(counts, cap)[:, None]
 
     G, C = _gaussian_matmul_features(sg)                       # unsorted
@@ -330,6 +337,28 @@ def rasterize_tiled(sg: ScreenGaussians, height: int, width: int,
     ys = jnp.arange(tile_h, dtype=jnp.float32)[:, None].repeat(tile_w, 1)
     xs = jnp.arange(tile_w, dtype=jnp.float32)[None, :].repeat(tile_h, 0)
     P = pixel_features(ys.ravel(), xs.ravel())                 # (px, 6)
+
+    if composite == "pallas":
+        from .pallas_rasterize import composite_tiles
+        # K=128 keeps the backward kernel's ~8 live (K, px) f32 temps
+        # within the 16 MB VMEM budget at px=2048.
+        K = min(chunk, cap, 128)
+        while cap % K:                       # kernel needs cap % K == 0
+            K //= 2
+        kout = composite_tiles(P.T, tGl.transpose(0, 2, 1),
+                               tC.transpose(0, 2, 1), tO[:, None, :], K)
+        accum = kout[:, 0:4].transpose(0, 2, 1)                # (T, px, 4)
+        alpha_t = 1.0 - jnp.exp(kout[:, 5])                    # (T, px)
+        out = jnp.concatenate([accum, alpha_t[..., None]], axis=-1)
+        out = out.reshape(ty, tx, tile_h, tile_w, 5)
+        out = out.transpose(0, 2, 1, 3, 4).reshape(ty * tile_h,
+                                                   tx * tile_w, 5)
+        out = out[:height, :width]
+        rgb = out[..., :3]
+        alpha = out[..., 4]
+        if bg is not None:
+            rgb = rgb + (1.0 - alpha[..., None]) * bg
+        return RenderOutput(rgb=rgb, depth=out[..., 3], alpha=alpha)
 
     chunk = min(chunk, cap)
     n_chunks = -(-cap // chunk)
@@ -393,11 +422,14 @@ def render(state: GaussianState, camera: Camera, sh_degree: int = 3,
     """Project + rasterize in one call (the ``render_view`` equivalent).
 
     method: 'dense' (exact, every gaussian vs every pixel — the reference
-    implementation for tests) or 'tiled' (culled production path)."""
+    implementation for tests), 'tiled' (culled, XLA composite) or 'pallas'
+    (culled, in-VMEM Pallas composite — the production path)."""
     sg = project_gaussians(state, camera, sh_degree=sh_degree, near=near,
                            center_offset=center_offset)
-    if method == "tiled":
+    if method in ("tiled", "pallas"):
         return rasterize_tiled(sg, camera.height, camera.width, cap=tile_cap,
-                               chunk=min(chunk, tile_cap), bg=bg)
+                               chunk=min(chunk, tile_cap), bg=bg,
+                               composite="pallas" if method == "pallas"
+                               else "xla")
     return rasterize(sg, camera.height, camera.width, bg=bg, chunk=chunk,
                      group=group)

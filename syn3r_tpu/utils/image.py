@@ -121,27 +121,28 @@ def psnr(pred: jnp.ndarray, target: jnp.ndarray, max_val: float = 1.0) -> jnp.nd
     return 20.0 * jnp.log10(max_val) - 10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
 
 
-def _ssim_window(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
-    g = _gaussian_kernel1d(size, sigma)
-    return jnp.outer(g, g)
-
-
 def ssim(pred: jnp.ndarray, target: jnp.ndarray, max_val: float = 1.0,
          window_size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
     """Gaussian-window SSIM (the 3DGS-lineage formulation: 11x11, sigma 1.5,
     same-padding, C1=(0.01L)^2, C2=(0.03L)^2). pred/target: (H, W, C)."""
     c1 = (0.01 * max_val) ** 2
     c2 = (0.03 * max_val) ** 2
-    win = _ssim_window(window_size, sigma)
-    kern = win[:, :, None, None]                                   # HWIO
+    g1 = _gaussian_kernel1d(window_size, sigma)
+    r = window_size // 2
 
     def conv(x):
-        # depthwise conv: treat channels as batch
-        xt = jnp.moveaxis(x, -1, 0)[:, None]                       # (C,1,H,W)
-        out = jax.lax.conv_general_dilated(
-            xt, kern.transpose(2, 3, 0, 1),                        # OIHW
-            window_strides=(1, 1), padding="SAME")
-        return jnp.moveaxis(out[:, 0], 0, -1)
+        # The 11x11 gaussian window is an outer product — blur separably
+        # with static shift-adds instead of a convolution op. An actual
+        # lax.conv at 3 channels forces a (C,1,H,W) layout on TPU whose
+        # T(1,128) tiling wastes 7/8 of the VPU and (composed with the
+        # rasterizer graph) cost ~80 ms/step; the shift-add form fuses
+        # into plain full-width elementwise passes.
+        h, w = x.shape[0], x.shape[1]
+        xp = jnp.pad(x, ((r, r), (0, 0), (0, 0)))
+        x = sum(g1[i] * xp[i:i + h] for i in range(window_size))
+        xp = jnp.pad(x, ((0, 0), (r, r), (0, 0)))
+        x = sum(g1[i] * xp[:, i:i + w] for i in range(window_size))
+        return x
 
     mu_p = conv(pred)
     mu_t = conv(target)
