@@ -80,11 +80,12 @@ class TrainConfig:
     # (batch_llff_train.sh:39). Reconstructed semantics (submodule absent):
     # an iteration is ELIGIBLE for a pseudo view when it >= start and
     # it % interval == 0; at an eligible iteration a pseudo view is drawn
-    # with probability min(1, rate * n_pseudo) — i.e. rate is the per-
-    # pseudo-camera sampling weight relative to the real views, so the
-    # pseudo fraction scales with how many pseudo views exist (LLFF:
-    # 0.02 x 48 pseudo ~ 24% pseudo vs 3 real views). rate <= 0 means
-    # every eligible iteration uses a pseudo view (pure interval cadence).
+    # with probability ``rate`` (LLFF: 2% of iterations), else a real
+    # view. rate <= 0 means every eligible iteration uses a pseudo view
+    # (pure interval cadence). Measured on the synthetic LLFF-shape
+    # protocol: scaling the probability by the pseudo-view count instead
+    # (an earlier reading) starves the real views (~96% pseudo at LLFF
+    # values) and collapses the fit.
     sample_svd_pseudo_interval: int = 2
     start_sample_svd_iter: int = 2_000
     pseudo_cam_sampling_rate: float = 0.0
@@ -375,7 +376,7 @@ class GSTrainer:
         if eligible:
             n = len(self.pseudo_views)
             p = (1.0 if cfg.pseudo_cam_sampling_rate <= 0
-                 else min(1.0, cfg.pseudo_cam_sampling_rate * n))
+                 else min(1.0, cfg.pseudo_cam_sampling_rate))
             if self._rng.random() < p:
                 i = int(self._rng.integers(n))
                 cam, img = self.pseudo_views.view(i)

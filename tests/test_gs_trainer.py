@@ -283,3 +283,25 @@ def test_find_nearest_cam_constraints():
     assert tr.find_nearest_cam(q, batched, multi_view_min_dis=2.0) == 2
     # impossible window falls back to unconstrained nearest
     assert tr.find_nearest_cam(q, batched, multi_view_min_dis=100.0) == 0
+
+
+def test_pseudo_sampling_rate_semantics(tmp_path):
+    """pseudo_cam_sampling_rate is the per-eligible-iteration probability
+    of drawing a pseudo view (LLFF: 0.02 -> ~2%), NOT scaled by the
+    pseudo-view count."""
+    _, cams, imgs = _toy_scene(n_views=2)
+    views = make_viewset(cams, imgs)
+    cfg = TrainConfig(iterations=1, chunk=8, group=1,
+                      sample_svd_pseudo_interval=1, start_sample_svd_iter=0,
+                      pseudo_cam_sampling_rate=0.02)
+    tr = GSTrainer(views, cfg, _simple_state(), model_path=str(tmp_path))
+    poses = np.stack([np.asarray(cams[0].w2c)] * 40)
+    K = np.asarray(cams[0].K)
+    fake = np.zeros((40, 36, 48, 3), np.float32)
+    tr.update_cameras(fake, poses, K, append=False)
+    picks = [tr._pick_view(i)[2] is not None for i in range(2000)]
+    frac = np.mean(picks)
+    assert 0.005 < frac < 0.05, frac   # ~2%, NOT ~80% (0.02 * 40)
+    # rate <= 0: pure interval cadence (every eligible iteration pseudo)
+    tr.cfg.pseudo_cam_sampling_rate = 0.0
+    assert all(tr._pick_view(i)[2] is not None for i in range(50))
