@@ -67,9 +67,21 @@ class GuidedSVDConfig:
     motion_bucket_id: int = 127
     noise_aug_strength: float = 0.02
     guidance_lr: float = 0.02
-    decode_chunk_size: int = 8
+    # temporal-decode chunking (reference decode_chunk_size=8,
+    # diffusionGS.py:1100 — sized for a fp16 GPU; at f32 576x1024 a chunk
+    # of 8 holds 4.5 GB per up-block activation, so 2 fits v5e HBM
+    # alongside the rest of the pipeline; pure memory/speed knob)
+    decode_chunk_size: int = 2
     variant: str = "post"            # "post" (LLFF/DL3DV) | "prob" (DTU)
     latent_num: int = 1              # multi-latent averaging hook (:636)
+    # run the forward/backward direction passes as a vmapped axis of 2
+    # instead of sequentially — with ``direction_sharding`` (a
+    # NamedSharding whose leading axis spans >= 2 devices) each chip takes
+    # one direction, halving wall-clock. Leave off single-chip: two
+    # concurrent guided vjps double peak HBM (one direction already uses
+    # ~15.8 GB at full resolution).
+    direction_parallel: bool = False
+    direction_sharding: object = None
     compute_dtype: jnp.dtype = jnp.bfloat16
 
 
@@ -86,25 +98,29 @@ class GuidedSVDPipeline:
     # ------------------------------------------------------------------
 
     @functools.partial(jax.jit, static_argnames=("self",))
-    def _clip_embed(self, image01: jnp.ndarray) -> jnp.ndarray:
+    def _clip_embed(self, clip_params, image01: jnp.ndarray) -> jnp.ndarray:
         """image01 (H, W, 3) in [0,1] -> CFG-stacked (2, 1, 1024):
         row 0 zeros (uncond), row 1 the embedding. Matches the reference's
-        _encode_image: [-1,1] -> antialiased 224 resize -> [0,1] -> CLIP."""
+        _encode_image: [-1,1] -> antialiased 224 resize -> [0,1] -> CLIP.
+
+        Params are explicit jit arguments throughout this class — baking
+        them into the jaxpr as closure constants (gigabytes at the real
+        config) overwhelms the remote compile service."""
         x = image01 * 2.0 - 1.0
         x = resize_antialiased(x, 224, 224)
         x = (x + 1.0) / 2.0
         x = clip_normalize(x)[None]
-        emb = self.m.clip.apply(self.m.clip_params,
+        emb = self.m.clip.apply(clip_params,
                                 x.astype(self.cfg.compute_dtype))
         emb = emb.astype(jnp.float32)[:, None, :]          # (1, 1, 1024)
         return jnp.concatenate([jnp.zeros_like(emb), emb], axis=0)
 
     @functools.partial(jax.jit, static_argnames=("self",))
-    def _vae_encode_mode(self, image01: jnp.ndarray,
+    def _vae_encode_mode(self, vae_params, image01: jnp.ndarray,
                          noise: jnp.ndarray) -> jnp.ndarray:
         """(H, W, 3) [0,1] + image-space noise -> latent mode (h, w, 4)."""
         x = image01 * 2.0 - 1.0 + self.cfg.noise_aug_strength * noise
-        return self.m.vae.apply(self.m.vae_params, x[None],
+        return self.m.vae.apply(vae_params, x[None],
                                 method="encode_mode")[0]
 
     def encode_conditioning(self, image_start, cond_images, image_end,
@@ -116,13 +132,15 @@ class GuidedSVDPipeline:
         warped conds + end frame (reference :596-601). All images share ONE
         noise-augmentation draw (reference draws a single ``noise``)."""
         noise = jax.random.normal(key, image_start.shape, jnp.float32)
-        clip_start = self._clip_embed(image_start)
-        clip_end = self._clip_embed(image_end)
-        lat_start = self._vae_encode_mode(image_start, noise)
-        lat_end = self._vae_encode_mode(image_end, noise)
+        clip_start = self._clip_embed(self.m.clip_params, image_start)
+        clip_end = self._clip_embed(self.m.clip_params, image_end)
+        lat_start = self._vae_encode_mode(self.m.vae_params, image_start,
+                                          noise)
+        lat_end = self._vae_encode_mode(self.m.vae_params, image_end, noise)
         cond_lats = [lat_start]
         for im in cond_images:
-            cond_lats.append(self._vae_encode_mode(im, noise))
+            cond_lats.append(self._vae_encode_mode(self.m.vae_params, im,
+                                                   noise))
         cond_lats.append(lat_end)
         cond = jnp.stack(cond_lats, axis=0) / FACTOR_S       # (F, h, w, 4)
         return clip_start, clip_end, cond, lat_start, lat_end
@@ -136,25 +154,25 @@ class GuidedSVDPipeline:
                             self.cfg.noise_aug_strength]], jnp.float32)
         return jnp.tile(row, (batch, 1))
 
-    def _unet(self, sample, t, ehs, tids):
+    def _unet(self, params, sample, t, ehs, tids):
         dt = self.cfg.compute_dtype
-        out = self.m.unet.apply(self.m.unet_params, sample.astype(dt), t,
+        out = self.m.unet.apply(params, sample.astype(dt), t,
                                 ehs.astype(dt), tids)
         return out.astype(jnp.float32)
 
-    def _unet_remat(self, sample, t, ehs, tids):
+    def _unet_remat(self, params, sample, t, ehs, tids):
         """Per-block-remat variant for the gradient-guidance vjp: bounds
         live activations to one UNet block so the full-resolution
         (25 x 72x128) guided step fits HBM."""
         dt = self.cfg.compute_dtype
         unet = self.m.unet.clone(remat_blocks=True)
-        out = unet.apply(self.m.unet_params, sample.astype(dt), t,
+        out = unet.apply(params, sample.astype(dt), t,
                          ehs.astype(dt), tids)
         return out.astype(jnp.float32)
 
     @functools.partial(jax.jit, static_argnames=("self",))
-    def denoise(self, noise_latents, clip_start, clip_end, cond_latents,
-                mask, lambda_ts):
+    def _denoise_impl(self, unet_params, noise_latents, clip_start,
+                      clip_end, cond_latents, mask, lambda_ts):
         """Run the full guided loop.
 
         noise_latents: (latent_num, F, h, w, 4) standard normals;
@@ -169,7 +187,12 @@ class GuidedSVDPipeline:
         weight_fw = jnp.linspace(1.0, 0.0, f)[:, None, None, None]
         tids1 = self._added_time_ids(1)
         tids2 = self._added_time_ids(2)
-        unet_remat = self._unet_remat
+
+        def unet_remat(*a):
+            return self._unet_remat(unet_params, *a)
+
+        def unet_plain(*a):
+            return self._unet(unet_params, *a)
 
         lat_start_f = jnp.repeat(cond_latents[:1] * FACTOR_S, f, axis=0)
         lat_end_f = jnp.repeat(cond_latents[-1:] * FACTOR_S, f, axis=0)
@@ -206,7 +229,7 @@ class GuidedSVDPipeline:
             inp = jnp.stack([
                 jnp.concatenate([scaled, jnp.zeros_like(img_lat)], axis=-1),
                 jnp.concatenate([scaled, img_lat], axis=-1)], axis=0)
-            eps = self._unet(inp, t, clip_emb, tids2)
+            eps = unet_plain(inp, t, clip_emb, tids2)
             eps = eps[0] + guidance * (eps[1] - eps[0])
 
             if cfg.variant == "post":
@@ -224,16 +247,42 @@ class GuidedSVDPipeline:
         mask_bw = jnp.flip(mask, axis=0)
         lam_bw = jnp.flip(lambda_ts, axis=1)
 
-        def one_latent(latents0):
-            def body(step_i, latents):
-                fwd = direction_step(latents, step_i, clip_start, cond_fw,
-                                     mask, lambda_ts, lat_start_f)
-                bwd = direction_step(jnp.flip(latents, 0), step_i, clip_end,
-                                     cond_bw, mask_bw, lam_bw, lat_end_f)
-                return weight_fw * fwd + (1 - weight_fw) * jnp.flip(bwd, 0)
+        if cfg.direction_parallel:
+            clip2 = jnp.stack([clip_start, clip_end])
+            cond2 = jnp.stack([cond_fw, cond_bw])
+            mask2 = jnp.stack([mask, mask_bw])
+            lam2 = jnp.stack([lambda_ts, lam_bw])
+            img2 = jnp.stack([lat_start_f, lat_end_f])
 
-            return jax.lax.fori_loop(0, cfg.num_inference_steps, body,
-                                     latents0)
+            def one_latent(latents0):
+                def body(step_i, latents):
+                    lat2 = jnp.stack([latents, jnp.flip(latents, 0)])
+                    if cfg.direction_sharding is not None:
+                        lat2 = jax.lax.with_sharding_constraint(
+                            lat2, cfg.direction_sharding)
+                    out2 = jax.vmap(
+                        lambda l, ce, cd, m, lm, il: direction_step(
+                            l, step_i, ce, cd, m, lm, il))(
+                        lat2, clip2, cond2, mask2, lam2, img2)
+                    return (weight_fw * out2[0]
+                            + (1 - weight_fw) * jnp.flip(out2[1], 0))
+
+                return jax.lax.fori_loop(0, cfg.num_inference_steps, body,
+                                         latents0)
+        else:
+            def one_latent(latents0):
+                def body(step_i, latents):
+                    fwd = direction_step(latents, step_i, clip_start,
+                                         cond_fw, mask, lambda_ts,
+                                         lat_start_f)
+                    bwd = direction_step(jnp.flip(latents, 0), step_i,
+                                         clip_end, cond_bw, mask_bw, lam_bw,
+                                         lat_end_f)
+                    return (weight_fw * fwd
+                            + (1 - weight_fw) * jnp.flip(bwd, 0))
+
+                return jax.lax.fori_loop(0, cfg.num_inference_steps, body,
+                                         latents0)
 
         init = noise_latents * sch.init_noise_sigma
         outs = jax.lax.map(one_latent, init)
@@ -243,8 +292,15 @@ class GuidedSVDPipeline:
     # decode
     # ------------------------------------------------------------------
 
+    def denoise(self, noise_latents, clip_start, clip_end, cond_latents,
+                mask, lambda_ts):
+        """Public entry — threads the UNet params as a jit argument."""
+        return self._denoise_impl(self.m.unet_params, noise_latents,
+                                  clip_start, clip_end, cond_latents, mask,
+                                  lambda_ts)
+
     @functools.partial(jax.jit, static_argnames=("self",))
-    def decode(self, latents: jnp.ndarray) -> jnp.ndarray:
+    def _decode_impl(self, vae_params, latents: jnp.ndarray) -> jnp.ndarray:
         """(F, h, w, 4) -> (F, H, W, 3) in [0, 1], chunked temporal decode
         (reference decode_latents, chunks of decode_chunk_size)."""
         cfg = self.cfg
@@ -254,12 +310,15 @@ class GuidedSVDPipeline:
         frames = []
         for i in range(0, f, c):
             chunk = z[i:i + c]
-            dec = self.m.vae.apply(self.m.vae_params,
+            dec = self.m.vae.apply(vae_params,
                                    chunk.astype(jnp.float32),
                                    chunk.shape[0], method="decode")
             frames.append(dec)
         out = jnp.concatenate(frames, axis=0)
         return jnp.clip(out * 0.5 + 0.5, 0.0, 1.0)
+
+    def decode(self, latents: jnp.ndarray) -> jnp.ndarray:
+        return self._decode_impl(self.m.vae_params, latents)
 
     # ------------------------------------------------------------------
 

@@ -88,7 +88,10 @@ def _attention(q, k, v, scale):
     if sq < 512 and sk < 512:
         return _attention_dense(q, k, v, scale)
     platform = jax.devices()[0].platform
-    if platform in ("tpu", "axon") and sq == sk and sq % 1024 == 0:
+    # flash only for small head dims: at d=512 (the VAE mid attention) the
+    # kernel's per-block VMEM exceeds the 16 MB budget
+    if (platform in ("tpu", "axon") and sq == sk and sq % 1024 == 0
+            and q.shape[3] <= 128):
         from jax.experimental.pallas.ops.tpu.flash_attention import (
             BlockSizes, flash_attention)
         # measured on v5e at (25, 5, 9216, 64): default blocks 7.8 TF/s,

@@ -144,3 +144,25 @@ def test_pcd_densification_branch(tmp_path):
     assert (tmp_path / "dense" / "dense_views_cyc0.ply").exists()
     # gaussians were reset from the (fake) pcd: <=50 active
     assert int(tr.gaussians.num_active) <= 50
+
+
+def test_refine_captures_pseudo_depths(tmp_path):
+    """When svd_depth_warmup > 0, refine_GS captures GS depths at the
+    pseudo poses and installs them as depth-supervision targets."""
+    cams, imgs, xyz = _scene()
+    views = make_viewset(cams, imgs)
+    init = G.from_points(jnp.asarray(xyz),
+                         jnp.asarray(np.full_like(xyz, 0.5)), capacity=128)
+    cfg = TrainConfig(iterations=8, densify_from_iter=10 ** 9, chunk=64,
+                      group=1, svd_depth_warmup=1,
+                      sample_svd_pseudo_interval=1, start_sample_svd_iter=0,
+                      pseudo_cam_sampling_rate=0.5)
+    tr = GSTrainer(views, cfg, init, model_path=str(tmp_path))
+    dcfg = DiffusionGSConfig(diffusion_width=64, diffusion_height=48,
+                             num_frames=3, num_inference_steps=5,
+                             refine_cycle_num=1, perturb_interp_poses=False)
+    runner = DiffusionGS(tr, dcfg, save_dir=str(tmp_path / "dense"))
+    runner.run(refine_cycles=1)
+    assert tr.pseudo_depths is not None
+    assert tr.pseudo_depths.shape[0] == len(tr.pseudo_views)
+    assert np.isfinite(np.asarray(tr.pseudo_depths)).all()

@@ -77,3 +77,34 @@ def test_encode_conditioning_shapes(tiny_models):
     # frame 0 of cond latents is the start latent / factor_s
     np.testing.assert_allclose(np.asarray(cond[0]),
                                np.asarray(ls) / 5.6, rtol=1e-5)
+
+
+def test_direction_parallel_matches_sequential(tiny_models):
+    """The vmapped 2-direction denoise (multichip mode) equals the
+    sequential path, with and without a mesh sharding constraint."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    key = jax.random.PRNGKey(3)
+    lat = jax.random.normal(key, (1, F, LH, LW, 4))
+    clip_s = jax.random.normal(key, (2, 1, 1024))
+    clip_e = jax.random.normal(jax.random.PRNGKey(4), (2, 1, 1024))
+    cond = jax.random.normal(key, (F, LH, LW, 4)) * 0.1
+    mask = jnp.full((F - 2, LH, LW), 0.4)
+    lam = jnp.ones((STEPS, F))
+
+    def run(**kw):
+        cfg = GuidedSVDConfig(num_inference_steps=STEPS, num_frames=F,
+                              variant="post", compute_dtype=jnp.float32,
+                              **kw)
+        pipe = GuidedSVDPipeline(tiny_models, cfg)
+        return np.asarray(pipe.denoise(lat, clip_s, clip_e, cond, mask,
+                                       lam))
+
+    seq = run()
+    par = run(direction_parallel=True)
+    np.testing.assert_allclose(par, seq, rtol=2e-4, atol=2e-5)
+
+    mesh = Mesh(np.array(jax.devices()[:2]), ("dir",))
+    shd = NamedSharding(mesh, P("dir"))
+    par_sh = run(direction_parallel=True, direction_sharding=shd)
+    np.testing.assert_allclose(par_sh, seq, rtol=2e-4, atol=2e-5)
