@@ -1,18 +1,23 @@
 """Round benchmark on the real chip. Prints ONE JSON line:
 {"metric", "value", "unit", "vs_baseline", "extra"}.
 
-Primary metric: guided SVD denoise steps/sec — ONE direction of the
-reference's hot loop B (grad-through-UNet guidance + CFG 2x UNet pass +
-Euler update) at the full SVD-XT config, 25 frames, 72x128 latents, bf16
-(reference SVD_2pass_prob_uncertain_post.py:671-829; the reference runs
-2 directions x 100 steps per view pair).
+Primary metric: guided SVD denoise steps/sec — BOTH directions of the
+reference's hot loop B per step, with the reference's DETACHED guidance
+gradient (SVD_2pass_prob_uncertain_post.py:732-733: the UNet input is
+detached, so the grad is closed-form through pred_x0's sample/(sigma^2+1)
+term — no UNet backward). Per step: one vmapped uncond UNet forward
+(2 directions x batch 1), the 4-tile closed-form grad, one vmapped CFG
+UNet forward (2 directions x batch 2), Euler update, direction merge.
+Full SVD-XT config, 25 frames, 72x128 latents, bf16.
 
 extra carries the other north-star metrics (BASELINE.md):
+  - completion_s_per_pair: encode + 100 guided steps + chunk-8 bf16
+    decode at full size — the reference's whole svd_render unit
   - gs_train_step_ms: full 3DGS train step (fwd+bwd+adam+densify stats,
     Pallas composite) at 504x378 / 65k gaussians
-  - unet_fwd_mfu_pct: XLA-counted FLOPs of one CFG-2x UNet forward over
-    measured time vs the v5e 197 TFLOP/s bf16 peak
-  - denoise_frames_per_sec: 25 frames / guided step time
+  - unet_fwd_mfu_pct: XLA-counted FLOPs of one dual-direction CFG UNet
+    forward over measured time vs the v5e 197 TFLOP/s bf16 peak
+  - denoise_frames_per_sec: 25 frames / guided (2-direction) step time
 All timings chain each iteration's input to the previous output so the
 remote-runtime dispatch queue cannot fake the numbers.
 """
@@ -53,71 +58,135 @@ def bench_guided_denoise():
 
     sch = S.svd_schedule(100)
     guidance = jnp.linspace(1.0, 3.0, f)[:, None, None, None]
+    weight_fw = jnp.linspace(1.0, 0.0, f)[:, None, None, None]
     cond = jax.random.normal(rng, (f, hl, wl, 4), jnp.float32)
+    cond2 = jnp.stack([cond, jnp.flip(cond, 0)])
     mask = jnp.ones((f - 2, hl, wl), jnp.float32) * 0.5
+    mask2 = jnp.stack([mask, jnp.flip(mask, 0)])
     lam = jnp.ones((100, f), jnp.float32)
     img_lat = jax.random.normal(rng, (f, hl, wl, 4), jnp.float32)
+    img2 = jnp.stack([img_lat, img_lat])
     clip_emb = jax.random.normal(rng, (2, 1, 1024), jnp.float32)
+    clip2 = jnp.stack([clip_emb, clip_emb])
     tids2 = jnp.tile(tids1, (2, 1))
 
     def unet_fp32(p, x, t, e, ti):
         return unet.apply(p, x.astype(dtype), t, e.astype(dtype),
                           ti).astype(jnp.float32)
 
-    unet_r = unet.clone(remat_blocks=True)
-
-    def unet_remat(p, x, t, e, ti):
-        return unet_r.apply(p, x.astype(dtype), t, e.astype(dtype),
-                            ti).astype(jnp.float32)
-
-    @jax.jit
-    def guided_step(params, latents):
-        step_i = 0
+    def guided_dual_step(params, latents, step_i=0):
+        """Production semantics: detached closed-form guidance, both
+        directions vmapped (per-direction numerics identical to two
+        sequential calls — the batch-dependent temporal-context quirk sees
+        batch 1 / 2 per direction exactly as the reference does)."""
         t = sch.timesteps[step_i]
         sigma = sch.sigmas[step_i]
+        lat2 = jnp.stack([latents, jnp.flip(latents, 0)])
 
-        def gloss(lat):
-            scaled = S.scale_model_input(sch, lat, step_i)
-            inp = jnp.concatenate([scaled, jnp.zeros_like(img_lat)],
-                                  axis=-1)[None]
-            eps = unet_remat(params, inp, t, jnp.zeros_like(clip_emb[:1]),
-                             tids1)[0]
-            x0 = S.pred_original_sample(eps, lat, sigma)
-            tm = jax.lax.stop_gradient(
-                S.top_k_masks(x0.transpose(0, 3, 1, 2),
-                              cond.transpose(0, 3, 1, 2), mask,
-                              lam[step_i]))
-            return S.guidance_loss(x0.transpose(0, 3, 1, 2),
-                                   cond.transpose(0, 3, 1, 2), tm)
+        # uncond forward (2 directions x batch 1) + closed-form tiled grad
+        scaled2 = S.scale_model_input(sch, lat2, step_i)
+        inp2 = jnp.concatenate([scaled2, jnp.zeros_like(img2)],
+                               axis=-1)[:, None]
+        eps2 = jax.vmap(lambda i: unet_fp32(params, i, t,
+                                            jnp.zeros_like(clip_emb[:1]),
+                                            tids1))(inp2)[:, 0]
+        x02 = S.pred_original_sample(eps2, lat2, sigma)
+        grad2 = jax.vmap(
+            lambda x0, cd, mk: S.guidance_grad_tiled(
+                x0.transpose(0, 3, 1, 2), cd.transpose(0, 3, 1, 2),
+                mk, lam[step_i], sigma, lr=0.02))(x02, cond2, mask2)
+        next2 = lat2 - grad2.transpose(0, 1, 3, 4, 2)
 
-        grad = jax.grad(gloss)(latents)
-        latents = latents - S.normalize_guidance_grad(grad, sigma, lr=0.02)
-        scaled = S.scale_model_input(sch, latents, step_i)
-        inp = jnp.stack([
-            jnp.concatenate([scaled, jnp.zeros_like(img_lat)], axis=-1),
-            jnp.concatenate([scaled, img_lat], axis=-1)], axis=0)
-        eps = unet_fp32(params, inp, t, clip_emb, tids2)
-        eps = eps[0] + guidance * (eps[1] - eps[0])
-        prev, _ = S.step_interp(sch, eps, latents, step_i)
-        return prev
+        # CFG forward (2 directions x batch 2) evaluated at the PRE-grad
+        # latents; Euler steps from the post-grad ones (reference :781-800)
+        scaled2 = S.scale_model_input(sch, lat2, step_i)
+        inp2 = jnp.stack([
+            jnp.concatenate([scaled2, jnp.zeros_like(img2)], axis=-1),
+            jnp.concatenate([scaled2, img2], axis=-1)], axis=1)
+        eps2 = jax.vmap(lambda i, e: unet_fp32(params, i, t, e, tids2))(
+            inp2, clip2)
+        eps2 = eps2[:, 0] + guidance * (eps2[:, 1] - eps2[:, 0])
+        prev2, _ = S.step_interp(sch, eps2, next2, step_i)
+        return weight_fw * prev2[0] + (1 - weight_fw) * jnp.flip(prev2[1], 0)
 
     import functools
+    step_fn = jax.jit(functools.partial(guided_dual_step, params))
     lat0 = jax.random.normal(rng, (f, hl, wl, 4), jnp.float32) * sch.sigmas[0]
-    dt = _chain_time(functools.partial(guided_step, params), lat0, iters=5)
+    dt = _chain_time(step_fn, lat0, iters=5)
 
-    # CFG-2x UNet forward MFU (XLA-counted flops over measured time)
+    # dual-direction CFG UNet forward MFU (XLA flops over measured time)
     @jax.jit
     def cfg_fwd(params, x):
-        inp = jnp.stack([
-            jnp.concatenate([x, jnp.zeros_like(img_lat)], axis=-1),
-            jnp.concatenate([x, img_lat], axis=-1)], axis=0)
-        return unet_fp32(params, inp, 1.0, clip_emb, tids2)[0]
+        x2 = jnp.stack([x, jnp.flip(x, 0)])
+        inp2 = jnp.stack([
+            jnp.concatenate([x2, jnp.zeros_like(img2)], axis=-1),
+            jnp.concatenate([x2, img2], axis=-1)], axis=1)
+        eps2 = jax.vmap(lambda i, e: unet_fp32(params, i, 1.0, e, tids2))(
+            inp2, clip2)
+        return eps2[:, 0].mean(0)
 
     compiled = cfg_fwd.lower(params, lat0).compile()
     flops = compiled.cost_analysis()["flops"]
     dt_fwd = _chain_time(functools.partial(cfg_fwd, params), lat0, iters=5)
     mfu = flops / dt_fwd / 197e12 * 100.0
-    return dt, dt_fwd, mfu
+    return dt, dt_fwd, mfu, params, unet
+
+
+def bench_completion_pair(dt_guided):
+    """Full completion unit: VAE encode (27 frames) + 100 guided dual steps
+    + chunk-8 bf16 temporal decode at 576x1024. The denoise part is
+    extrapolated from the measured per-step time (identical jit); encode
+    and decode are measured directly."""
+    import jax
+    import jax.numpy as jnp
+
+    from syn3r_tpu.models.vae import AutoencoderKLTemporalDecoder
+
+    f, H, W = 25, 576, 1024
+    dtype = jnp.bfloat16
+    vae = AutoencoderKLTemporalDecoder(dtype=dtype)
+    rng = jax.random.PRNGKey(1)
+    vp = jax.jit(lambda k: vae.init(k, jnp.zeros((1, 64, 64, 3)), 1))(rng)
+    vp = jax.tree.map(lambda x: x.astype(dtype), vp)
+
+    img = jax.random.uniform(rng, (1, H, W, 3), jnp.float32)
+
+    @jax.jit
+    def encode(p, x):
+        return vae.apply(p, (x * 2 - 1).astype(dtype), method="encode_mode")
+
+    lat1 = encode(vp, img)
+    jax.block_until_ready(lat1)
+    t0 = time.time()
+    outs = []
+    x = img
+    for _ in range(27):                      # start + 23 conds + end
+        z = encode(vp, x)
+        outs.append(z)
+        x = img + z.astype(jnp.float32).mean() * 0.0  # chain
+    jax.block_until_ready(outs[-1])
+    t_encode = time.time() - t0
+
+    z25 = jnp.concatenate([jnp.tile(o[:1], (1, 1, 1, 1)) for o in outs[:25]],
+                          axis=0)
+
+    @jax.jit
+    def decode(p, z):
+        frames = []
+        for i in range(0, f, 8):
+            chunk = z[i:i + 8]
+            frames.append(vae.apply(p, chunk.astype(dtype), chunk.shape[0],
+                                    method="decode").astype(jnp.float32))
+        return jnp.concatenate(frames, axis=0)
+
+    out = decode(vp, z25)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    out = decode(vp, z25 + out.mean() * 0.0)
+    jax.block_until_ready(out)
+    t_decode = time.time() - t0
+
+    return t_encode + 100.0 * dt_guided + t_decode, t_encode, t_decode
 
 
 def bench_gs_step():
@@ -157,20 +226,24 @@ def bench_gs_step():
 
 def main():
     import jax
-    # persistent compile cache: the guided-step vjp compiles in ~17 min on
-    # this single-core host the first time, milliseconds after
+    # persistent compile cache (first full-config compile is minutes on
+    # this single-core host, milliseconds after)
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
-    dt_guided, dt_fwd, mfu = bench_guided_denoise()
+    dt_guided, dt_fwd, mfu, _, _ = bench_guided_denoise()
+    pair_s, enc_s, dec_s = bench_completion_pair(dt_guided)
     gs_dt = bench_gs_step()
     print(json.dumps({
         "metric": "guided_denoise_steps_per_sec",
         "value": round(1.0 / dt_guided, 3),
-        "unit": "steps/s",
+        "unit": "steps/s (both directions)",
         "vs_baseline": None,
         "extra": {
             "denoise_frames_per_sec": round(25.0 / dt_guided, 2),
-            "unet_cfg_fwd_ms": round(dt_fwd * 1e3, 1),
+            "completion_s_per_pair": round(pair_s, 1),
+            "vae_encode27_s": round(enc_s, 2),
+            "vae_decode25_s": round(dec_s, 2),
+            "unet_dual_cfg_fwd_ms": round(dt_fwd * 1e3, 1),
             "unet_fwd_mfu_pct": round(mfu, 1),
             "gs_train_step_ms": round(gs_dt * 1e3, 1),
         },

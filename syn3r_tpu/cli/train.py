@@ -27,7 +27,11 @@ def build_parser() -> argparse.ArgumentParser:
     # diffusion / refine loop (reference scripts/train.py:28-70)
     p.add_argument("--diffusion_type", default="2PassProbUncertainPost",
                    choices=["2PassProbUncertain", "2PassProbUncertainPost"])
-    p.add_argument("--densify_type", default="interpolate_gs_v2")
+    p.add_argument("--densify_type", default="interpolate_gs_v2",
+                   choices=["interpolate_gs_v2", "interpolate_loop0_gs"],
+                   help="pair topology: gs_v2 = N wrap-around pairs "
+                        "(LLFF/DL3DV), loop0_gs = N-1 pairs (DTU) — "
+                        "reference diffusionGS.py:227,244-250")
     p.add_argument("--interp_type", default="backward_warp")
     p.add_argument("--refine_cycle_num", type=int, default=2)
     p.add_argument("--refine_epoch", type=int, default=1)
@@ -125,6 +129,7 @@ def main(argv=None):
         refine_cycle_num=args.refine_cycle_num,
         refine_epoch=args.refine_epoch,
         cam_confidence=args.cam_confidence,
+        densify_type=args.densify_type,
         disable_densification=args.disable_densification,
         pseudo_cam_sampling_rate=args.pseudo_cam_sampling_rate,
         use_lpips_loss=bool(args.lpips_weights),

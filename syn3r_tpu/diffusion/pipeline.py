@@ -8,22 +8,33 @@ jitted sampler:
   uncertainty masks, lambda_t schedule (SURVEY.md §2.3).
 
   per denoise step, per direction (forward / time-flipped backward):
-    [post variant] gradient guidance — d(masked top-k MSE)/d(latents)
-    THROUGH the UNet (uncond slice), normalized grad/std*sqrt(sigma)*lr,
-    latents <- latents - grad; then a CFG (2x batch) UNet pass and a plain
-    Euler update (scheduler.step_interp).
+    [post variant] DETACHED gradient guidance — the reference detaches the
+    UNet input before its grad pass (:732-733), so the gradient reaches
+    the sample only through pred_x0's sample/(sigma^2+1) term. One uncond
+    UNet forward gives pred_x0; the grad is then CLOSED-FORM
+    (scheduler.guidance_grad_tiled: per-tile top-k masks + per-tile
+    std normalization + hard stitch, :726-779); latents <- latents - grad;
+    then a CFG (2x batch) UNet pass and a plain Euler update
+    (scheduler.step_interp).
     [prob variant] CFG UNet pass + soft latent replacement
     (scheduler.step_interp_prob_uncertain).
   directions merged w*fwd + (1-w)*flip(bwd), w = linspace(1, 0, F).
 
 TPU-first deviations (documented, quality-neutral or better):
-  - the reference splits the guidance UNet pass into 4 overlapping spatial
-    tiles purely to fit VRAM (:726-779) and hard-stitches the gradients;
-    on TPU the gradient is computed FULL-FRAME in one vjp (the tiled
-    version is an approximation of exactly this). UNet remat bounds memory.
-  - the whole 100-step loop runs inside one jit (lax.fori_loop); the
-    CFG batch stays 2 per direction, matching the reference's execution
-    (and its batch-dependent temporal-context quirk) exactly.
+  - the reference runs a SEPARATE UNet forward per guidance tile crop (a
+    VRAM workaround); here ONE full-frame uncond forward is sliced into
+    the 4 tiles — per-tile pred_x0 differs only by the reference's
+    conv-padding/attention boundary artifacts. All scheduler math (per-tile
+    sort, std, stitch) is replicated exactly.
+  - the two directions run as a vmapped axis of 2 by default: numerics per
+    direction are IDENTICAL to two sequential calls (the batch-dependent
+    temporal-context quirk sees batch 1 / CFG-2 per direction, as the
+    reference does), but XLA batches the matmuls across directions.
+  - the whole 100-step loop runs inside one jit (lax.fori_loop).
+
+``guidance_through_unet=True`` restores round-2's grad-through-the-UNet
+variant (a stronger but ~2-3x costlier guidance signal that diverges from
+the reference) behind an explicit opt-in.
 
 The reference's CLIP/VAE preprocessing (antialiased resize to 224,
 noise-augmented VAE encode, factor_s=5.6 cond-latent scaling, per-frame
@@ -67,22 +78,36 @@ class GuidedSVDConfig:
     motion_bucket_id: int = 127
     noise_aug_strength: float = 0.02
     guidance_lr: float = 0.02
-    # temporal-decode chunking (reference decode_chunk_size=8,
-    # diffusionGS.py:1100 — sized for a fp16 GPU; at f32 576x1024 a chunk
-    # of 8 holds 4.5 GB per up-block activation, so 2 fits v5e HBM
-    # alongside the rest of the pipeline; pure memory/speed knob)
-    decode_chunk_size: int = 2
+    # temporal-decode chunking. The reference decodes in chunks of 8
+    # (diffusionGS.py:1100) and the temporal decoder MIXES frames within a
+    # chunk (temporal-mix resnets + the final (3,1,1) conv), so the chunk
+    # size changes the decoded pixels, not just memory — 8 is a fidelity
+    # parameter, kept. Decode runs in the compute dtype (bf16 on TPU; the
+    # reference decodes in fp16) so chunk-8 at 576x1024 fits v5e HBM.
+    decode_chunk_size: int = 8
     variant: str = "post"            # "post" (LLFF/DL3DV) | "prob" (DTU)
     latent_num: int = 1              # multi-latent averaging hook (:636)
-    # run the forward/backward direction passes as a vmapped axis of 2
-    # instead of sequentially — with ``direction_sharding`` (a
+    # guidance tile bounds: "reference" = the reference's absolute 40/24/
+    # 72/56 slices (production); "scaled" = proportional (tiny tests);
+    # "auto" = reference when the latent grid is big enough, else scaled.
+    guidance_tile_mode: str = "auto"
+    # round-2 legacy: compute the guidance gradient THROUGH the UNet
+    # (jax.grad of the masked MSE through a remat-wrapped forward) instead
+    # of the reference's detached closed-form gradient. ~2-3x the cost and
+    # different numerics from the reference — opt-in only.
+    guidance_through_unet: bool = False
+    # run the forward/backward direction passes as a vmapped axis of 2 —
+    # identical numerics, batched matmuls. With ``direction_sharding`` (a
     # NamedSharding whose leading axis spans >= 2 devices) each chip takes
-    # one direction, halving wall-clock. Leave off single-chip: two
-    # concurrent guided vjps double peak HBM (one direction already uses
-    # ~15.8 GB at full resolution).
-    direction_parallel: bool = False
+    # one direction. Auto-disabled when guidance_through_unet (two
+    # concurrent vjps double peak HBM: ~15.8 GB each at full resolution).
+    direction_parallel: bool = True
     direction_sharding: object = None
     compute_dtype: jnp.dtype = jnp.bfloat16
+
+    def __post_init__(self):
+        if self.guidance_through_unet and self.direction_sharding is None:
+            self.direction_parallel = False
 
 
 class GuidedSVDPipeline:
@@ -124,14 +149,18 @@ class GuidedSVDPipeline:
                                 method="encode_mode")[0]
 
     def encode_conditioning(self, image_start, cond_images, image_end,
-                            key: jax.Array):
+                            key: Optional[jax.Array] = None,
+                            noise: Optional[jnp.ndarray] = None):
         """Returns (clip_start (2,1,1024), clip_end, cond_latents
         (F, h, w, 4) scaled by 1/factor_s, start/end latents (h, w, 4)).
 
         cond_latents frame 0 is the start-image latent, frames 1..F-1 the 23
         warped conds + end frame (reference :596-601). All images share ONE
-        noise-augmentation draw (reference draws a single ``noise``)."""
-        noise = jax.random.normal(key, image_start.shape, jnp.float32)
+        noise-augmentation draw (reference draws a single ``noise``); pass
+        ``noise`` explicitly to pin it (parity tests), else it is drawn
+        from ``key``."""
+        if noise is None:
+            noise = jax.random.normal(key, image_start.shape, jnp.float32)
         clip_start = self._clip_embed(self.m.clip_params, image_start)
         clip_end = self._clip_embed(self.m.clip_params, image_end)
         lat_start = self._vae_encode_mode(self.m.vae_params, image_start,
@@ -201,9 +230,13 @@ class GuidedSVDPipeline:
                            img_lat):
             t = sch.timesteps[step_i]
             sigma = sch.sigmas[step_i]
+            # NOTE (reference :726-800): the CFG UNet forward is evaluated
+            # at the PRE-grad latents, but the Euler update steps from the
+            # POST-grad latents (next_latents = latents - grad). Keep both.
+            pre_grad_latents = latents
 
-            if cfg.variant == "post":
-                # -- gradient guidance (uncond slice, grad through UNet) --
+            if cfg.variant == "post" and cfg.guidance_through_unet:
+                # -- round-2 legacy: grad THROUGH the UNet (opt-in) --------
                 def gloss(lat):
                     scaled = S.scale_model_input(sch, lat, step_i)
                     # uncond slice: zero CLIP embedding, zero image latents
@@ -223,9 +256,30 @@ class GuidedSVDPipeline:
                 grad = S.normalize_guidance_grad(grad, sigma,
                                                  lr=cfg.guidance_lr)
                 latents = latents - grad
+            elif cfg.variant == "post":
+                # -- reference semantics: detached closed-form guidance ----
+                # one uncond forward (zero CLIP context, zero image
+                # latents — SVD_2pass_prob_uncertain_post.py:758-769 tile
+                # rows [0:1]); grad via the 4-tile closed form.
+                scaled = S.scale_model_input(sch, latents, step_i)
+                inp = jnp.concatenate(
+                    [scaled, jnp.zeros_like(img_lat)], axis=-1)[None]
+                eps = unet_plain(inp, t, jnp.zeros_like(clip_emb[:1]),
+                                 tids1)[0]
+                x0 = S.pred_original_sample(eps, latents, sigma)
+                tmode = cfg.guidance_tile_mode
+                if tmode == "auto":
+                    hl, wl = latents.shape[1:3]
+                    tmode = ("reference" if hl >= 25 and wl >= 57
+                             else "scaled")
+                grad = S.guidance_grad_tiled(
+                    x0.transpose(0, 3, 1, 2), cond.transpose(0, 3, 1, 2),
+                    msk, lam[step_i], sigma, lr=cfg.guidance_lr,
+                    tile_mode=tmode)
+                latents = latents - grad.transpose(0, 2, 3, 1)
 
-            # -- CFG pass + Euler / soft-replacement update ----------------
-            scaled = S.scale_model_input(sch, latents, step_i)
+            # -- CFG pass (at pre-grad latents) + Euler / soft-replacement
+            scaled = S.scale_model_input(sch, pre_grad_latents, step_i)
             inp = jnp.stack([
                 jnp.concatenate([scaled, jnp.zeros_like(img_lat)], axis=-1),
                 jnp.concatenate([scaled, img_lat], axis=-1)], axis=0)
@@ -302,18 +356,21 @@ class GuidedSVDPipeline:
     @functools.partial(jax.jit, static_argnames=("self",))
     def _decode_impl(self, vae_params, latents: jnp.ndarray) -> jnp.ndarray:
         """(F, h, w, 4) -> (F, H, W, 3) in [0, 1], chunked temporal decode
-        (reference decode_latents, chunks of decode_chunk_size)."""
+        (reference decode_latents, chunks of decode_chunk_size=8). The
+        temporal decoder mixes frames within a chunk, so the chunk size is
+        a fidelity parameter, not just a memory knob. Runs in compute_dtype
+        (bf16 on TPU — the reference decodes in fp16)."""
         cfg = self.cfg
+        vae = self.m.vae.clone(dtype=cfg.compute_dtype)
         z = latents / self.m.vae.scaling_factor
         f = z.shape[0]
         c = cfg.decode_chunk_size
         frames = []
         for i in range(0, f, c):
             chunk = z[i:i + c]
-            dec = self.m.vae.apply(vae_params,
-                                   chunk.astype(jnp.float32),
-                                   chunk.shape[0], method="decode")
-            frames.append(dec)
+            dec = vae.apply(vae_params, chunk.astype(cfg.compute_dtype),
+                            chunk.shape[0], method="decode")
+            frames.append(dec.astype(jnp.float32))
         out = jnp.concatenate(frames, axis=0)
         return jnp.clip(out * 0.5 + 0.5, 0.0, 1.0)
 

@@ -19,9 +19,16 @@ the only file changed vs upstream diffusers; see SURVEY.md §2.8):
   - ``undo_step`` re-noising and ``add_noise``.
 
 Idiomatic change vs the reference: gradient guidance is NOT a
-``loss.backward()`` inside the scheduler — ``guidance_loss`` is a pure
-function; the sampler composes it with the UNet under ``jax.grad`` (the
-reference's gradient does flow through the UNet: SURVEY.md §7 hard-part 3).
+``loss.backward()`` inside the scheduler — it is CLOSED-FORM. The reference
+detaches the UNet input before the grad pass
+(``SVD_2pass_prob_uncertain_post.py:732-733``: ``latent_model_input =
+latent_model_input.detach()``) and reads ``sample.grad``
+(``scheduling_euler_discrete.py:789-791``), so the gradient reaches the
+sample ONLY through pred_x0's direct ``sample/(sigma^2+1)`` term — never
+through the UNet. ``guidance_grad`` computes exactly that derivative
+analytically; ``guidance_grad_tiled`` adds the reference's 4-overlapping-
+tile per-tile top-k + per-tile std normalization + hard stitching
+(``SVD_2pass_prob_uncertain_post.py:726-779``).
 
 All functions are shape-static and differentiable; frame count and latent
 resolution are free parameters (the reference hard-codes 25 x 72 x 128).
@@ -155,6 +162,94 @@ def normalize_guidance_grad(grad: jnp.ndarray, sigma: jnp.ndarray,
                             lr: float = 0.02) -> jnp.ndarray:
     """grad / std(grad) * sigma^0.5 * lr (reference :788-795)."""
     return grad / (jnp.std(grad) + 1e-12) * jnp.sqrt(sigma) * lr
+
+
+def guidance_grad(pred_x0: jnp.ndarray, cond_latents: jnp.ndarray,
+                  top_masks: jnp.ndarray, sigma: jnp.ndarray,
+                  lr: float = 0.02) -> jnp.ndarray:
+    """Closed-form detached guidance gradient for one region (T, C, H, W).
+
+    The reference's grad pass detaches the UNet input
+    (``SVD_2pass_prob_uncertain_post.py:732-733``) so
+    d(loss)/d(sample) = d(loss)/d(pred_x0) * d(pred_x0)/d(sample)
+                      = 2*(pred_x0 - cond)*top_mask / sum(top_mask)
+                        * 1/(sigma^2+1)
+    (the v-prediction c_skip term, ``scheduling_euler_discrete.py:728``),
+    then normalizes grad/std(grad)*sigma^0.5*lr (``:789-795``). No autodiff,
+    no UNet backward — this is the production semantics; ``jax.grad`` of
+    ``guidance_loss`` w.r.t. the sample (UNet output constant) is its
+    oracle-tested equivalent (tests/test_scheduler.py)."""
+    m = top_masks.astype(pred_x0.dtype)
+    g = 2.0 * (pred_x0 - cond_latents) * m / m.sum() / (sigma ** 2 + 1.0)
+    return normalize_guidance_grad(g, sigma, lr)
+
+
+def guidance_tile_bounds(h: int, w: int, mode: str = "reference"):
+    """The reference's 4 overlapping guidance tiles.
+
+    mode="reference": the reference's ABSOLUTE slice bounds — h: [0:40],
+    [24:h]; w: [0:72], [56:w]; stitch skips a fixed 16 rows/cols of the
+    second tile (``SVD_2pass_prob_uncertain_post.py:739-758,776-778``).
+    Python-slice clamping means that at h<=40 / w<=72 the second tile's
+    post-skip contribution is empty and the math collapses toward a single
+    full-frame tile — exactly what the reference code does at such sizes.
+    Valid for h>=25, w>=57 (the second tiles must be non-empty).
+
+    mode="scaled": proportional bounds ((40/72)h etc.) for tiny-shape
+    tests; identical to "reference" at the production 72x128 grid.
+
+    Returns ((h0_end, h1_start, skip_h), (w0_end, w1_start, skip_w)).
+    """
+    if mode == "reference":
+        h0e, h1s, dh = min(40, h), min(24, h), 16
+        w0e, w1s, dw = min(72, w), min(56, w), 16
+        if h1s >= h or w1s >= w:
+            raise ValueError(f"latent grid {h}x{w} too small for the "
+                             "reference tile bounds; use mode='scaled'")
+    else:
+        h0e, h1s = (40 * h) // 72, (24 * h) // 72
+        w0e, w1s = (72 * w) // 128, (56 * w) // 128
+        dh, dw = h0e - h1s, w0e - w1s
+        if not (0 < h1s < h0e < h and 0 < w1s < w0e < w):
+            raise ValueError(f"latent grid {h}x{w} too small for 4 tiles")
+    return (h0e, h1s, dh), (w0e, w1s, dw)
+
+
+def guidance_grad_tiled(pred_x0: jnp.ndarray, cond_latents: jnp.ndarray,
+                        mask: jnp.ndarray, lambda_row: jnp.ndarray,
+                        sigma: jnp.ndarray, lr: float = 0.02,
+                        clamp_lo: float = 0.4,
+                        tile_mode: str = "reference") -> jnp.ndarray:
+    """The reference's 4-tile detached guidance gradient
+    (``SVD_2pass_prob_uncertain_post.py:726-779``): each overlapping tile
+    computes its OWN top-k masks (sort over tile pixels) and its own
+    std-normalized closed-form grad, then the tiles are hard-stitched at
+    the h0_end row / w0_end column boundaries.
+
+    pred_x0/cond_latents: (T, C, H, W); mask: (T-2, H, W); lambda_row: (T,).
+    Deviation (documented): the reference runs a SEPARATE UNet forward per
+    tile crop (a VRAM workaround), so its per-tile pred_x0 differs from the
+    full-frame crop by conv-padding/attention boundary effects; here ONE
+    full-frame pred_x0 is sliced — cheaper and boundary-artifact-free, all
+    scheduler math identical per tile.
+    """
+    t, c, h, w = pred_x0.shape
+    (h0e, h1s, dh), (w0e, w1s, dw) = guidance_tile_bounds(h, w, tile_mode)
+
+    def tile_grad(hs, he, ws, we):
+        p = pred_x0[:, :, hs:he, ws:we]
+        cd = cond_latents[:, :, hs:he, ws:we]
+        mk = mask[:, hs:he, ws:we]
+        tm = top_k_masks(p, cd, mk, lambda_row, clamp_lo)
+        return guidance_grad(p, cd, tm, sigma, lr)
+
+    g00 = tile_grad(0, h0e, 0, w0e)      # top-left
+    g10 = tile_grad(h1s, h, 0, w0e)      # bottom-left
+    g01 = tile_grad(0, h0e, w1s, w)      # top-right
+    g11 = tile_grad(h1s, h, w1s, w)      # bottom-right
+    left = jnp.concatenate([g00, g10[:, :, dh:, :]], axis=2)
+    right = jnp.concatenate([g01, g11[:, :, dh:, :]], axis=2)
+    return jnp.concatenate([left, right[:, :, :, dw:]], axis=3)
 
 
 def step_interp(schedule: EulerSchedule, model_output: jnp.ndarray,

@@ -258,12 +258,12 @@ def rasterize_tiled(sg: ScreenGaussians, height: int, width: int,
     tile-local (the Gaussian power is translation invariant), which keeps
     the quadratic pixel features small.
 
-    Scatter-free by construction: XLA:TPU serializes general scatters, so
-    both the compaction (forward) and the gather transpose (backward) are
-    expressed as gathers — slot s of tile t is found by a batched
-    searchsorted over the per-tile hit cumsum, and the backward of the
-    per-tile feature gather is a (T, N) masked gather + reduction inside a
-    custom VJP (``_binned_gather``).
+    Scatter-free forward by construction: XLA:TPU serializes general
+    scatters, so the compaction is expressed as gathers — slot s of tile t
+    is found by a batched searchsorted over the per-tile hit cumsum. The
+    backward of the per-tile feature gather is XLA's default gather
+    transpose, a scatter-add of only T*cap rows (vs the (T, N) scatter the
+    forward avoids) — cheap at production sizes (see ``_binned_gather``).
     """
     n = sg.center.shape[0]
     ty = -(-height // tile_h)
@@ -341,10 +341,18 @@ def rasterize_tiled(sg: ScreenGaussians, height: int, width: int,
     if composite == "pallas":
         from .pallas_rasterize import composite_tiles
         # K=128 keeps the backward kernel's ~8 live (K, px) f32 temps
-        # within the 16 MB VMEM budget at px=2048.
-        K = min(chunk, cap, 128)
-        while cap % K:                       # kernel needs cap % K == 0
-            K //= 2
+        # within the 16 MB VMEM budget at px=2048. The kernel needs
+        # cap % K == 0: zero-pad the per-tile lists up to a K multiple
+        # (padding entries have opacity 0 and composite to nothing)
+        # rather than shrinking K, which for odd caps degraded to K=1
+        # (serializing the kernel) and blew the residual VMEM buffer.
+        K = max(1, min(chunk, cap, 128))
+        cap_p = -(-max(cap, 1) // K) * K
+        if cap_p != cap:
+            pad = [(0, 0), (0, cap_p - cap), (0, 0)]
+            tGl = jnp.pad(tGl, pad)
+            tC = jnp.pad(tC, pad)
+            tO = jnp.pad(tO, pad[:2])
         kout = composite_tiles(P.T, tGl.transpose(0, 2, 1),
                                tC.transpose(0, 2, 1), tO[:, None, :], K)
         accum = kout[:, 0:4].transpose(0, 2, 1)                # (T, px, 4)

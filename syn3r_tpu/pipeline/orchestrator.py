@@ -47,6 +47,11 @@ class DiffusionGSConfig:
     pseudo_cam_sampling_rate: float = 0.02
     perturb_interp_poses: bool = True
     replace_endpoints: bool = True
+    # densify pair topology (reference diffusionGS.py:227,244-250):
+    # 'interpolate_gs_v2' (LLFF/DL3DV) runs N pairs (i, (i+1) % N) —
+    # INCLUDING the wrap-around (last -> first); 'interpolate_loop0_gs'
+    # (DTU) breaks before the wrap, giving N-1 pairs.
+    densify_type: str = "interpolate_gs_v2"
     # LPIPS loss is toggled ON for the refine phase only (reference
     # diffusionGS.py:1690,1697); needs GSTrainer.set_lpips() weights.
     use_lpips_loss: bool = False
@@ -138,7 +143,12 @@ class DiffusionGS:
         cams = self.trainer.train_views.cameras
         all_frames, all_poses = [], []
 
-        for pi in range(len(order) - 1):
+        # pair topology (reference diffusionGS.py:227,244-250): gs_v2 wraps
+        # around (N pairs, last->first included); loop0_gs stops at N-1.
+        n = len(order)
+        num_pairs = n if cfg.densify_type == "interpolate_gs_v2" else n - 1
+
+        for pi in range(num_pairs):
             cache = os.path.join(
                 self.save_dir,
                 f"interpolated_dense_views_cyc{cycle}_view{pi}.npz")
@@ -148,7 +158,7 @@ class DiffusionGS:
                 all_poses.append(jnp.asarray(data["poses"]))
                 continue
 
-            i, j = order[pi], order[pi + 1]
+            i, j = order[pi], order[(pi + 1) % n]
             pose_l = np.asarray(cams.w2c[i])
             pose_r = np.asarray(cams.w2c[j])
             poses = C.interpolate_pair_poses(pose_l, pose_r, cfg.num_frames)

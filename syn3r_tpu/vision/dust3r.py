@@ -21,8 +21,14 @@ log-scales minimize the confidence-weighted distance between world points
 from depths and the (scaled, pose-transformed) pair predictions — an optax
 Adam loop inside one jit.
 
-Weight conversion from the public DUSt3R checkpoint is round-2 work; the
-architecture is config-parameterized and shape/gradient tested.
+``convert_dust3r_torch`` maps the public checkpoint layout onto this
+module. Every conversion convention (fused-qkv split order, 2D rotate-half
+RoPE, norm_y, decoder intertwining, the head's pixel_shuffle channel
+permutation, exp-norm postprocess) is pinned by a full-model activation
+oracle against a handwritten numpy implementation of the public CroCo/
+DUSt3R forward (tests/test_dust3r_oracle.py) — the reference checkout's
+dust3r submodule is empty, so that numpy spec is the strongest available
+oracle until the real checkpoint can be downloaded.
 """
 
 from __future__ import annotations
@@ -50,11 +56,11 @@ def rope_2d(q: jnp.ndarray, k: jnp.ndarray, positions: jnp.ndarray,
     """Apply 2D RoPE. q/k: (B, heads, N, D); positions: (B, N, 2) (y, x).
     Half the head dim rotates with y, half with x.
 
-    Convention matches the public CroCo/DUSt3R ``curope`` kernel so
-    converted checkpoints are bit-compatible: within each positional half,
-    rotation uses the rotate-half form (x*cos + [-x2, x1]*sin with the
-    cos/sin table duplicated across the two sub-halves), NOT interleaved
-    pairs."""
+    Convention matches the public CroCo/DUSt3R ``curope`` kernel: within
+    each positional half, rotation uses the rotate-half form (x*cos +
+    [-x2, x1]*sin with the cos/sin table duplicated across the two
+    sub-halves), NOT interleaved pairs. Pinned by the numpy oracle in
+    tests/test_dust3r_oracle.py (test_rope_against_torch_style)."""
     b, h, n, d = q.shape
     half = d // 2
 
@@ -304,8 +310,25 @@ def convert_dust3r_torch(state_dict: dict) -> dict:
     # shared final decoder norm feeds both heads (CroCo dec_norm)
     ln("dec_norm", ("head1_norm",))
     ln("dec_norm", ("head2_norm",))
-    dense("downstream_head1.proj", ("head1_proj",))
-    dense("downstream_head2.proj", ("head2_proj",))
+
+    def head_dense(src, dst):
+        """The torch linear head feeds F.pixel_shuffle, whose channel
+        layout is (4, p, p)-MAJOR (feature c*p^2 + a*p + b); the flax head
+        reshapes features as (p, p, 4) (feature a*4p + b*4 + c). Permute
+        the proj output features accordingly — without this the converted
+        head scrambles every patch (caught by
+        tests/test_dust3r_oracle.py)."""
+        w = sd[src + ".weight"]                      # (4p^2, D)
+        p = int(round((w.shape[0] // 4) ** 0.5))
+        a = np.arange(p)[:, None, None] * p
+        bcol = np.arange(p)[None, :, None]
+        c = np.arange(4)[None, None, :] * p * p
+        perm = (c + a + bcol).reshape(-1)            # perm[f_flax] = f_torch
+        put(dst + ("kernel",), w[perm].T)
+        put(dst + ("bias",), sd[src + ".bias"][perm])
+
+    head_dense("downstream_head1.proj", ("head1_proj",))
+    head_dense("downstream_head2.proj", ("head2_proj",))
     return out
 
 

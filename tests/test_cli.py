@@ -133,3 +133,64 @@ def test_lpips_module_runs():
     d_diff = float(m.apply(params, a, b))
     assert d_same == pytest.approx(0.0, abs=1e-6)
     assert np.isfinite(d_diff)
+
+
+def test_runbook_convert_baseline_report(scene_dir, tmp_path):
+    """The one-command weights runbook (cli.runbook): convert a tiny
+    random-weight HF-layout snapshot, run the GS-only baseline stage on a
+    synthetic scene, and produce the report. The 'full' stage needs the
+    real full-config weights (environment-blocked) and is exercised up to
+    its CLI wiring elsewhere."""
+    import torch
+    from syn3r_tpu.cli import runbook as runbook_cli
+
+    # tiny HF-layout snapshot with real key names
+    snap = tmp_path / "snapshot"
+    from tests.test_pipeline_golden import _torch_models
+    tu, tv, tc, _ = _torch_models()
+    for sub, mod in (("unet", tu), ("vae", tv), ("image_encoder", tc)):
+        d = snap / sub
+        d.mkdir(parents=True)
+        torch.save(mod.state_dict(),
+                   str(d / "diffusion_pytorch_model.bin"))
+
+    out = str(tmp_path / "run")
+    runbook_cli.main([
+        "--hf_snapshot", str(snap), "--scene", scene_dir, "--out", out,
+        "--n_views", "3", "--iterations", "25",
+        "--stages", "convert,baseline,report",
+        "--extra", "--log_every", "0", "--disable_densification",
+    ])
+    for f in ("unet.npz", "vae.npz", "clip.npz"):
+        assert os.path.exists(os.path.join(out, "weights", f))
+    assert os.path.exists(os.path.join(out, "gs_only", "eval_res.txt"))
+    import json
+    report = json.load(open(os.path.join(out, "runbook_report.json")))
+    assert "PSNR" in report["gs_only"]
+
+
+@pytest.mark.slow
+def test_batch_fleet_parallel(tmp_path):
+    """Scene-parallel fleet runner: 2 synthetic scenes, 2 subprocess
+    workers on the CPU backend (SURVEY.md §7 layer 8)."""
+    from syn3r_tpu.cli import batch as batch_cli
+
+    data_root = tmp_path / "data"
+    out_root = tmp_path / "out"
+    for name in ("scene_a", "scene_b"):
+        _write_scene(str(data_root / name))
+
+    batch_cli.main([
+        "--dataset", "llff", "--data_root", str(data_root),
+        "--out_root", str(out_root), "--scenes", "scene_a", "scene_b",
+        "--parallel", "2",
+        "--extra", "--iterations", "20", "--refine_cycle_num", "1",
+        "--num_frames", "3", "--num_inference_steps", "5",
+        "--diffusion_width", "64", "--diffusion_height", "48",
+        "--start_sample_svd_frame", "5", "--log_every", "0",
+        "--disable_densification", "--svd_depth_warmup", "0",
+    ])
+    for name in ("scene_a", "scene_b"):
+        assert os.path.exists(
+            os.path.join(out_root, name, "chkpnt_latest.npz")), name
+        assert os.path.exists(os.path.join(out_root, name, "log.txt"))

@@ -95,18 +95,40 @@ def test_full_refine_cycle(tmp_path):
                              refine_cycle_num=1, perturb_interp_poses=False)
     runner = DiffusionGS(tr, dcfg, save_dir=str(tmp_path / "dense"))
     runner.run(refine_cycles=1)
-    # pseudo views installed with the configured confidence
+    # pseudo views installed with the configured confidence; the default
+    # interpolate_gs_v2 topology gives N pairs INCLUDING the wrap-around
+    # (last -> first), reference diffusionGS.py:227,248-250
     assert tr.pseudo_views is not None
-    assert len(tr.pseudo_views) == 2 * 5  # (n_views-1) pairs x frames
+    assert len(tr.pseudo_views) == 3 * 5  # n_views wrap-around pairs x frames
     np.testing.assert_allclose(
         np.asarray(tr.pseudo_views.cameras.confidence), 0.05)
     # caches written and reusable
     import os
-    assert len(os.listdir(tmp_path / "dense")) == 2
+    assert len(os.listdir(tmp_path / "dense")) == 3
     frames, poses = runner.densify_views(0)     # second call: cache hit
-    assert frames.shape == (2, 5, 48, 64, 3)
+    assert frames.shape == (3, 5, 48, 64, 3)
     # checkpoints with reference naming
     assert tr.latest_checkpoint() is not None
+
+
+def test_densify_loop0_pair_topology(tmp_path):
+    """interpolate_loop0_gs (the DTU preset) stops before the wrap-around:
+    N-1 pairs (reference diffusionGS.py:244-246)."""
+    cams, imgs, xyz = _scene()
+    views = make_viewset(cams, imgs)
+    init = G.from_points(jnp.asarray(xyz),
+                         jnp.asarray(np.full_like(xyz, 0.5)), capacity=128)
+    cfg = TrainConfig(iterations=8, densify_from_iter=10 ** 9, chunk=64,
+                      group=1)
+    tr = GSTrainer(views, cfg, init, model_path=str(tmp_path))
+    dcfg = DiffusionGSConfig(diffusion_width=64, diffusion_height=48,
+                             num_frames=3, num_inference_steps=5,
+                             refine_cycle_num=1, perturb_interp_poses=False,
+                             densify_type="interpolate_loop0_gs")
+    runner = DiffusionGS(tr, dcfg, save_dir=str(tmp_path / "dense"))
+    tr.training(0)
+    frames, poses = runner.densify_views(0)
+    assert frames.shape[0] == 2                  # N-1 = 2 pairs, no wrap
 
 
 def test_fps_keyframes():

@@ -46,7 +46,8 @@ def test_pallas_forward_matches_xla(scene):
 
 
 def test_pallas_forward_uneven_chunk(scene):
-    """cap not divisible by chunk: K is halved until it divides."""
+    """cap not divisible by chunk: the per-tile lists are zero-padded up to
+    a K multiple (padding composites to nothing since opacity = 0)."""
     _, cam, sg = scene
     a = rz.rasterize_tiled(sg, cam.height, cam.width, cap=384, chunk=256,
                            composite="xla")
@@ -54,6 +55,31 @@ def test_pallas_forward_uneven_chunk(scene):
                            composite="pallas")
     np.testing.assert_allclose(np.asarray(b.rgb), np.asarray(a.rgb),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_pallas_forward_odd_cap(scene):
+    """Odd cap (e.g. a prime gaussian capacity below tile_cap): must NOT
+    degrade K to 1 — pad instead. Guards the ADVICE r2 finding."""
+    _, cam, sg = scene
+    # cap=min(499, n=512)=499, K=min(128, 499, 128)=128 -> pad to 512
+    a = rz.rasterize_tiled(sg, cam.height, cam.width, cap=499, chunk=128,
+                           composite="xla")
+    b = rz.rasterize_tiled(sg, cam.height, cam.width, cap=499, chunk=128,
+                           composite="pallas")
+    np.testing.assert_allclose(np.asarray(b.rgb), np.asarray(a.rgb),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_pallas_zero_gaussians():
+    """n=0 must not divide by zero; renders empty."""
+    st = G.from_points(jnp.zeros((0, 3)), jnp.zeros((0, 3)), capacity=0)
+    cam = camera_from_fov(0.9, 0.7, 64, 32,
+                          look_at_w2c(jnp.asarray([0.0, 0.0, 0.0]),
+                                      jnp.asarray([0.0, 0.0, 2.5])))
+    sg = rz.project_gaussians(st, cam, sh_degree=3)
+    out = rz.rasterize_tiled(sg, cam.height, cam.width, cap=256, chunk=128,
+                             composite="pallas")
+    assert np.asarray(out.alpha).max() == 0.0
 
 
 @pytest.mark.parametrize("field", ["means", "log_scales", "opacity_logits",

@@ -100,7 +100,7 @@ def test_direction_parallel_matches_sequential(tiny_models):
         return np.asarray(pipe.denoise(lat, clip_s, clip_e, cond, mask,
                                        lam))
 
-    seq = run()
+    seq = run(direction_parallel=False)
     par = run(direction_parallel=True)
     np.testing.assert_allclose(par, seq, rtol=2e-4, atol=2e-5)
 

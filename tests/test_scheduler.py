@@ -153,6 +153,113 @@ def test_guidance_grad_parity():
     np.testing.assert_allclose(np.asarray(g), ref_grad, rtol=2e-3, atol=2e-5)
 
 
+@needs_oracle
+@pytest.mark.parametrize("step_i", [0, 6])
+def test_guidance_grad_tiled_parity(step_i):
+    """The production closed-form 4-tile gradient vs the reference's tile
+    assembly: per tile, oracle step_interp(compute_grad=True) on the crop
+    (detached-UNet semantics: sample requires grad, model_output constant),
+    then the reference's exact torch.cat stitch
+    (SVD_2pass_prob_uncertain_post.py:776-778)."""
+    import torch
+    from syn3r_tpu.diffusion.scheduler import guidance_tile_bounds
+    sch = _oracle()
+    sch.set_timesteps(NSTEPS)
+    sample, model_output, cond, mask, lambda_ts = _data(3)
+    (h0e, h1s, dh), (w0e, w1s, dw) = guidance_tile_bounds(H, W, "scaled")
+    tiles = [(0, h0e, 0, w0e), (h1s, H, 0, w0e),
+             (0, h0e, w1s, W), (h1s, H, w1s, W)]
+    grads = []
+    for (hs, he, ws, we) in tiles:
+        sch.is_scale_input_called = True
+        s_t = torch.from_numpy(
+            sample[:, :, hs:he, ws:we])[None].requires_grad_(True)
+        out = sch.step_interp(
+            torch.from_numpy(model_output[:, :, hs:he, ws:we])[None],
+            sch.timesteps[step_i], s_t,
+            temp_cond_latents=torch.from_numpy(
+                np.stack([cond, cond]))[:, :, :, hs:he, ws:we],
+            mask=torch.from_numpy(mask)[None, :, None, hs:he, ws:we],
+            lambda_ts=torch.from_numpy(lambda_ts),
+            step_i=step_i, lr=0.02, compute_grad=True)
+        grads.append(out.grad)
+    grads1 = torch.cat((grads[0], grads[1][:, :, :, dh:, :]), -2)
+    grads2 = torch.cat((grads[2], grads[3][:, :, :, dh:, :]), -2)
+    ref = torch.cat((grads1, grads2[:, :, :, :, dw:]), -1)[0].numpy()
+
+    ours = S.svd_schedule(NSTEPS)
+    sigma = ours.sigmas[step_i]
+    x0 = S.pred_original_sample(jnp.asarray(model_output),
+                                jnp.asarray(sample), sigma)
+    g = S.guidance_grad_tiled(x0, jnp.asarray(cond), jnp.asarray(mask),
+                              jnp.asarray(lambda_ts)[step_i], sigma, lr=0.02,
+                              tile_mode="scaled")
+    np.testing.assert_allclose(np.asarray(g), ref, rtol=2e-3, atol=2e-6)
+
+
+@needs_oracle
+def test_guidance_grad_reference_tile_collapse():
+    """At a 40x72 latent grid the reference's hard-coded absolute tile
+    slices collapse to an effective single full-frame tile (the second
+    tiles' post-skip-16 contributions are empty) — tile_mode='reference'
+    must reproduce exactly that, validated against the oracle's
+    compute_grad on the full frame."""
+    import torch
+    h, w = 40, 72
+    rng = np.random.default_rng(5)
+    sample = rng.normal(size=(T, C, h, w)).astype(np.float32) * 3
+    model_output = rng.normal(size=(T, C, h, w)).astype(np.float32)
+    cond = rng.normal(size=(T, C, h, w)).astype(np.float32)
+    mask = rng.uniform(size=(T - 2, h, w)).astype(np.float32)
+    lambda_ts = (rng.uniform(size=(NSTEPS, T)) > 0.4).astype(np.float32)
+    step_i = 4
+    sch = _oracle()
+    sch.set_timesteps(NSTEPS)
+    sch.is_scale_input_called = True
+    s_t = torch.from_numpy(sample)[None].requires_grad_(True)
+    out = sch.step_interp(
+        torch.from_numpy(model_output)[None], sch.timesteps[step_i], s_t,
+        temp_cond_latents=torch.from_numpy(np.stack([cond, cond])),
+        mask=torch.from_numpy(mask)[None, :, None],
+        lambda_ts=torch.from_numpy(lambda_ts),
+        step_i=step_i, lr=0.02, compute_grad=True)
+    ref = out.grad[0].numpy()
+
+    ours = S.svd_schedule(NSTEPS)
+    sigma = ours.sigmas[step_i]
+    x0 = S.pred_original_sample(jnp.asarray(model_output),
+                                jnp.asarray(sample), sigma)
+    g = S.guidance_grad_tiled(x0, jnp.asarray(cond), jnp.asarray(mask),
+                              jnp.asarray(lambda_ts)[step_i], sigma,
+                              lr=0.02, tile_mode="reference")
+    np.testing.assert_allclose(np.asarray(g), ref, rtol=2e-3, atol=2e-6)
+
+
+def test_guidance_grad_closed_form_equals_autodiff():
+    """guidance_grad (closed form) == jax.grad of guidance_loss w.r.t. the
+    sample with the UNet output held constant — the production path and the
+    oracle-tested autodiff formulation are the same function."""
+    sample, model_output, cond, mask, lambda_ts = _data(4)
+    ours = S.svd_schedule(NSTEPS)
+    step_i = 2
+    sigma = ours.sigmas[step_i]
+    x0 = S.pred_original_sample(jnp.asarray(model_output),
+                                jnp.asarray(sample), sigma)
+    tm = S.top_k_masks(x0, jnp.asarray(cond), jnp.asarray(mask),
+                       jnp.asarray(lambda_ts)[step_i])
+    g_closed = S.guidance_grad(x0, jnp.asarray(cond), tm, sigma, lr=0.02)
+
+    def loss_fn(s):
+        x0s = S.pred_original_sample(jnp.asarray(model_output), s, sigma)
+        return S.guidance_loss(x0s, jnp.asarray(cond),
+                               jax.lax.stop_gradient(tm))
+
+    g_auto = jax.grad(loss_fn)(jnp.asarray(sample))
+    g_auto = S.normalize_guidance_grad(g_auto, sigma, lr=0.02)
+    np.testing.assert_allclose(np.asarray(g_closed), np.asarray(g_auto),
+                               rtol=1e-5, atol=1e-8)
+
+
 def test_undo_and_add_noise_shapes():
     ours = S.svd_schedule(NSTEPS)
     x = jnp.ones((T, C, H, W))
