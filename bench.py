@@ -110,9 +110,13 @@ def bench_guided_denoise():
         return weight_fw * prev2[0] + (1 - weight_fw) * jnp.flip(prev2[1], 0)
 
     import functools
-    step_fn = jax.jit(functools.partial(guided_dual_step, params))
+    # params must be a runtime ARGUMENT of the jitted step: closing over
+    # them via partial embeds 3 GB of weights as compile-time constants,
+    # which breaks the axon remote-compile transport (and bloats the
+    # executable).
+    step_jit = jax.jit(guided_dual_step)
     lat0 = jax.random.normal(rng, (f, hl, wl, 4), jnp.float32) * sch.sigmas[0]
-    dt = _chain_time(step_fn, lat0, iters=5)
+    dt = _chain_time(lambda x: step_jit(params, x), lat0, iters=5)
 
     # dual-direction CFG UNet forward MFU (XLA flops over measured time)
     @jax.jit

@@ -52,6 +52,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--svd_weights", default=None,
                    help="dir with converted SVD/CLIP/VAE params (.npz); "
                         "without it the warp-only completion runs")
+    p.add_argument("--dust3r_weights", default=None,
+                   help="converted DUSt3R params (.npz, convert_dust3r_"
+                        "torch); enables the DL3DV pcd-densification "
+                        "branch (reference use_dust3r)")
+    p.add_argument("--gmflow_weights", default=None,
+                   help="converted public-GMFlow params (.npz, convert_"
+                        "gmflow_torch); enables the frame-quality "
+                        "consistency gate")
     # GS optimization (FSGS-side flags)
     p.add_argument("--iterations", type=int, default=10_000)
     p.add_argument("--lambda_dssim", type=float, default=0.2)
@@ -120,6 +128,18 @@ def main(argv=None):
     completion_fn = None
     if args.svd_weights:
         completion_fn = _load_svd_completion(args)
+    dust3r_fn = None
+    if args.dust3r_weights:
+        from ..utils.params import load_params
+        from ..vision.dust3r import Dust3R, make_dust3r_fn
+        dust3r_fn = make_dust3r_fn(Dust3R(),
+                                   load_params(args.dust3r_weights))
+    flow_fn = None
+    if args.gmflow_weights:
+        from ..utils.params import load_params
+        from ..vision.gmflow_public import GMFlowPublic, make_flow_fn
+        flow_fn = make_flow_fn(GMFlowPublic(),
+                               load_params(args.gmflow_weights))
 
     dcfg = DiffusionGSConfig(
         diffusion_width=args.diffusion_width,
@@ -135,7 +155,8 @@ def main(argv=None):
         use_lpips_loss=bool(args.lpips_weights),
         num_views_for_pcd_densification=args.num_views_for_pcd_densification,
         seed=args.seed)
-    runner = DiffusionGS(trainer, dcfg, completion_fn=completion_fn)
+    runner = DiffusionGS(trainer, dcfg, completion_fn=completion_fn,
+                         dust3r_fn=dust3r_fn, flow_fn=flow_fn)
     runner.run(log_every=args.log_every)
     print(f"[done] checkpoints in {args.model_path}")
 

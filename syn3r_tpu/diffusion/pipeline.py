@@ -148,6 +148,23 @@ class GuidedSVDPipeline:
         return self.m.vae.apply(vae_params, x[None],
                                 method="encode_mode")[0]
 
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _vae_encode_mode_batch(self, vae_params, images01: jnp.ndarray,
+                               noise: jnp.ndarray) -> jnp.ndarray:
+        """(N, H, W, 3) [0,1] + ONE shared noise (H, W, 3) -> (N, h, w, 4).
+
+        The spatial encoder is frame-independent (no temporal mixing on the
+        encode side), so chunking is value-neutral — it only bounds
+        activation HBM at full resolution. One jit instead of N dispatches
+        (the reference encodes frame-by-frame, :596-599; f32 like its
+        force_upcast path)."""
+        x = images01 * 2.0 - 1.0 + self.cfg.noise_aug_strength * noise[None]
+        outs = []
+        for i in range(0, x.shape[0], 8):
+            outs.append(self.m.vae.apply(vae_params, x[i:i + 8],
+                                         method="encode_mode"))
+        return jnp.concatenate(outs, axis=0)
+
     def encode_conditioning(self, image_start, cond_images, image_end,
                             key: Optional[jax.Array] = None,
                             noise: Optional[jnp.ndarray] = None):
@@ -163,15 +180,11 @@ class GuidedSVDPipeline:
             noise = jax.random.normal(key, image_start.shape, jnp.float32)
         clip_start = self._clip_embed(self.m.clip_params, image_start)
         clip_end = self._clip_embed(self.m.clip_params, image_end)
-        lat_start = self._vae_encode_mode(self.m.vae_params, image_start,
-                                          noise)
-        lat_end = self._vae_encode_mode(self.m.vae_params, image_end, noise)
-        cond_lats = [lat_start]
-        for im in cond_images:
-            cond_lats.append(self._vae_encode_mode(self.m.vae_params, im,
-                                                   noise))
-        cond_lats.append(lat_end)
-        cond = jnp.stack(cond_lats, axis=0) / FACTOR_S       # (F, h, w, 4)
+        stacked = jnp.stack([image_start, *cond_images, image_end], axis=0)
+        lats = self._vae_encode_mode_batch(self.m.vae_params, stacked,
+                                           noise)
+        lat_start, lat_end = lats[0], lats[-1]
+        cond = lats / FACTOR_S                               # (F, h, w, 4)
         return clip_start, clip_end, cond, lat_start, lat_end
 
     # ------------------------------------------------------------------

@@ -56,13 +56,22 @@ def _attention_dense(q, k, v, scale):
     return jnp.einsum("bhqk,bhkd->bhqd", attn.astype(v.dtype), v)
 
 
-def _attention_chunked(q, k, v, scale, q_chunk: int = 512):
+def _attention_chunked(q, k, v, scale, q_chunk: Optional[int] = None):
     """Memory-bounded exact attention: scan over query chunks, full kv;
     each chunk rematerializes in the backward pass (without the checkpoint
     the scan's vjp stacks every chunk's softmax — gigabytes at SVD's
     2304-token mid levels). The fallback where flash attention's block
     divisibility doesn't hold, and for tests off-TPU."""
     b, h, sq, d = q.shape
+    if q_chunk is None:
+        # Bound the per-iteration f32 logit buffer (b, h, q_chunk, sk) to
+        # ~256 MB. At a fixed 512 the dual-direction CFG batch (100 frames
+        # x 10 heads x 2304 kv at SVD's mid level) materializes a 4.4 GB
+        # chunk — the single biggest HBM allocation of the whole guided
+        # step. Shapes are static at trace time so this is free.
+        budget = 256 * 1024 * 1024
+        q_chunk = budget // max(1, b * h * k.shape[2] * 4)
+        q_chunk = max(64, min(512, (q_chunk // 64) * 64))
     n = -(-sq // q_chunk)
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, n * q_chunk - sq), (0, 0)))
     qc = qp.reshape(b, h, n, q_chunk, d).transpose(2, 0, 1, 3, 4)
@@ -89,14 +98,18 @@ def _attention(q, k, v, scale):
         return _attention_dense(q, k, v, scale)
     platform = jax.devices()[0].platform
     # flash only for small head dims: at d=512 (the VAE mid attention) the
-    # kernel's per-block VMEM exceeds the 16 MB budget
-    if (platform in ("tpu", "axon") and sq == sk and sq % 1024 == 0
+    # kernel's per-block VMEM exceeds the 16 MB budget. Any 128-multiple
+    # block that divides the sequence works: 1024 for the 9216-token top
+    # level, 768 for the 2304-token mid level (which would otherwise fall
+    # back to chunked-exact and its f32 logit buffers).
+    block = next((c for c in (1024, 768, 512) if sq % c == 0), None)
+    if (platform in ("tpu", "axon") and sq == sk and block is not None
             and q.shape[3] <= 128):
         from jax.experimental.pallas.ops.tpu.flash_attention import (
             BlockSizes, flash_attention)
         # measured on v5e at (25, 5, 9216, 64): default blocks 7.8 TF/s,
         # 1024-cubed blocks 37 TF/s
-        b = min(1024, sq)
+        b = block
         bs = BlockSizes(block_q=b, block_k_major=b, block_k=b, block_b=1,
                         block_q_major_dkv=b, block_k_major_dkv=b,
                         block_k_dkv=b, block_q_dkv=b,

@@ -79,6 +79,33 @@ def test_encode_conditioning_shapes(tiny_models):
                                np.asarray(ls) / 5.6, rtol=1e-5)
 
 
+def test_guidance_through_unet_optin(tiny_models):
+    """The round-2 legacy grad-through-UNet guidance stays available
+    behind the opt-in flag; it runs, produces finite output, and differs
+    from the default detached closed-form gradient (different numerics by
+    design)."""
+    key = jax.random.PRNGKey(5)
+    lat = jax.random.normal(key, (1, F, LH, LW, 4))
+    clip_s = jax.random.normal(key, (2, 1, 1024))
+    clip_e = jax.random.normal(jax.random.PRNGKey(6), (2, 1, 1024))
+    cond = jax.random.normal(key, (F, LH, LW, 4)) * 0.1
+    mask = jnp.full((F - 2, LH, LW), 0.4)
+    lam = jnp.ones((STEPS, F))
+
+    def run(**kw):
+        cfg = GuidedSVDConfig(num_inference_steps=STEPS, num_frames=F,
+                              variant="post", compute_dtype=jnp.float32,
+                              **kw)
+        pipe = GuidedSVDPipeline(tiny_models, cfg)
+        return np.asarray(pipe.denoise(lat, clip_s, clip_e, cond, mask,
+                                       lam))
+
+    legacy = run(guidance_through_unet=True)
+    assert np.isfinite(legacy).all()
+    default = run()
+    assert np.abs(legacy - default).max() > 1e-6
+
+
 def test_direction_parallel_matches_sequential(tiny_models):
     """The vmapped 2-direction denoise (multichip mode) equals the
     sequential path, with and without a mesh sharding constraint."""
