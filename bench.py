@@ -5,9 +5,10 @@ Primary metric: guided SVD denoise steps/sec — BOTH directions of the
 reference's hot loop B per step, with the reference's DETACHED guidance
 gradient (SVD_2pass_prob_uncertain_post.py:732-733: the UNet input is
 detached, so the grad is closed-form through pred_x0's sample/(sigma^2+1)
-term — no UNet backward). Per step: one vmapped uncond UNet forward
-(2 directions x batch 1), the 4-tile closed-form grad, one vmapped CFG
-UNet forward (2 directions x batch 2), Euler update, direction merge.
+term — no UNet backward). Per step and direction: one uncond UNet forward (batch 1), the 4-tile
+closed-form grad, one CFG UNet forward (batch 2), Euler update; then the
+direction merge. Directions run sequentially inside one jit — the batched
+variant exceeds v5e HBM at full size (measured 17.8 vs 15.75 GB).
 Full SVD-XT config, 25 frames, 72x128 latents, bf16.
 
 extra carries the other north-star metrics (BASELINE.md):
@@ -15,7 +16,7 @@ extra carries the other north-star metrics (BASELINE.md):
     decode at full size — the reference's whole svd_render unit
   - gs_train_step_ms: full 3DGS train step (fwd+bwd+adam+densify stats,
     Pallas composite) at 504x378 / 65k gaussians
-  - unet_fwd_mfu_pct: XLA-counted FLOPs of one dual-direction CFG UNet
+  - unet_fwd_mfu_pct: XLA-counted FLOPs of one CFG (batch 2) UNet
     forward over measured time vs the v5e 197 TFLOP/s bf16 peak
   - denoise_frames_per_sec: 25 frames / guided (2-direction) step time
 All timings chain each iteration's input to the previous output so the
@@ -65,49 +66,47 @@ def bench_guided_denoise():
     mask2 = jnp.stack([mask, jnp.flip(mask, 0)])
     lam = jnp.ones((100, f), jnp.float32)
     img_lat = jax.random.normal(rng, (f, hl, wl, 4), jnp.float32)
-    img2 = jnp.stack([img_lat, img_lat])
     clip_emb = jax.random.normal(rng, (2, 1, 1024), jnp.float32)
-    clip2 = jnp.stack([clip_emb, clip_emb])
     tids2 = jnp.tile(tids1, (2, 1))
 
     def unet_fp32(p, x, t, e, ti):
         return unet.apply(p, x.astype(dtype), t, e.astype(dtype),
                           ti).astype(jnp.float32)
 
-    def guided_dual_step(params, latents, step_i=0):
-        """Production semantics: detached closed-form guidance, both
-        directions vmapped (per-direction numerics identical to two
-        sequential calls — the batch-dependent temporal-context quirk sees
-        batch 1 / 2 per direction exactly as the reference does)."""
+    def direction_step(params, latents, cond_d, mask_d, step_i):
+        """One direction of the guided step: uncond forward + closed-form
+        tiled grad, then a CFG (batch 2) forward at the PRE-grad latents
+        and an Euler update from the POST-grad ones (reference :781-800)."""
         t = sch.timesteps[step_i]
         sigma = sch.sigmas[step_i]
-        lat2 = jnp.stack([latents, jnp.flip(latents, 0)])
+        scaled = S.scale_model_input(sch, latents, step_i)
+        inp = jnp.concatenate([scaled, jnp.zeros_like(img_lat)],
+                              axis=-1)[None]
+        eps = unet_fp32(params, inp, t, jnp.zeros_like(clip_emb[:1]),
+                        tids1)[0]
+        x0 = S.pred_original_sample(eps, latents, sigma)
+        grad = S.guidance_grad_tiled(
+            x0.transpose(0, 3, 1, 2), cond_d.transpose(0, 3, 1, 2),
+            mask_d, lam[step_i], sigma, lr=0.02)
+        next_lat = latents - grad.transpose(0, 2, 3, 1)
 
-        # uncond forward (2 directions x batch 1) + closed-form tiled grad
-        scaled2 = S.scale_model_input(sch, lat2, step_i)
-        inp2 = jnp.concatenate([scaled2, jnp.zeros_like(img2)],
-                               axis=-1)[:, None]
-        eps2 = jax.vmap(lambda i: unet_fp32(params, i, t,
-                                            jnp.zeros_like(clip_emb[:1]),
-                                            tids1))(inp2)[:, 0]
-        x02 = S.pred_original_sample(eps2, lat2, sigma)
-        grad2 = jax.vmap(
-            lambda x0, cd, mk: S.guidance_grad_tiled(
-                x0.transpose(0, 3, 1, 2), cd.transpose(0, 3, 1, 2),
-                mk, lam[step_i], sigma, lr=0.02))(x02, cond2, mask2)
-        next2 = lat2 - grad2.transpose(0, 1, 3, 4, 2)
+        inp = jnp.stack([
+            jnp.concatenate([scaled, jnp.zeros_like(img_lat)], axis=-1),
+            jnp.concatenate([scaled, img_lat], axis=-1)], axis=0)
+        eps = unet_fp32(params, inp, t, clip_emb, tids2)
+        eps = eps[0] + guidance * (eps[1] - eps[0])
+        prev, _ = S.step_interp(sch, eps, next_lat, step_i)
+        return prev
 
-        # CFG forward (2 directions x batch 2) evaluated at the PRE-grad
-        # latents; Euler steps from the post-grad ones (reference :781-800)
-        scaled2 = S.scale_model_input(sch, lat2, step_i)
-        inp2 = jnp.stack([
-            jnp.concatenate([scaled2, jnp.zeros_like(img2)], axis=-1),
-            jnp.concatenate([scaled2, img2], axis=-1)], axis=1)
-        eps2 = jax.vmap(lambda i, e: unet_fp32(params, i, t, e, tids2))(
-            inp2, clip2)
-        eps2 = eps2[:, 0] + guidance * (eps2[:, 1] - eps2[:, 0])
-        prev2, _ = S.step_interp(sch, eps2, next2, step_i)
-        return weight_fw * prev2[0] + (1 - weight_fw) * jnp.flip(prev2[1], 0)
+    def guided_dual_step(params, latents, step_i=0):
+        """Production single-chip semantics: both directions sequentially
+        inside ONE jit (the vmapped direction axis is reserved for the
+        multichip direction-sharded path — batched it needs 17.8 GB of HBM
+        at full size, measured, vs the v5e's 15.75)."""
+        fwd = direction_step(params, latents, cond2[0], mask2[0], step_i)
+        bwd = direction_step(params, jnp.flip(latents, 0), cond2[1],
+                             mask2[1], step_i)
+        return weight_fw * fwd + (1 - weight_fw) * jnp.flip(bwd, 0)
 
     import functools
     # params must be a runtime ARGUMENT of the jitted step: closing over
@@ -118,16 +117,14 @@ def bench_guided_denoise():
     lat0 = jax.random.normal(rng, (f, hl, wl, 4), jnp.float32) * sch.sigmas[0]
     dt = _chain_time(lambda x: step_jit(params, x), lat0, iters=5)
 
-    # dual-direction CFG UNet forward MFU (XLA flops over measured time)
+    # CFG (batch 2) UNet forward MFU (XLA flops over measured time)
     @jax.jit
     def cfg_fwd(params, x):
-        x2 = jnp.stack([x, jnp.flip(x, 0)])
-        inp2 = jnp.stack([
-            jnp.concatenate([x2, jnp.zeros_like(img2)], axis=-1),
-            jnp.concatenate([x2, img2], axis=-1)], axis=1)
-        eps2 = jax.vmap(lambda i, e: unet_fp32(params, i, 1.0, e, tids2))(
-            inp2, clip2)
-        return eps2[:, 0].mean(0)
+        inp = jnp.stack([
+            jnp.concatenate([x, jnp.zeros_like(img_lat)], axis=-1),
+            jnp.concatenate([x, img_lat], axis=-1)], axis=0)
+        eps = unet_fp32(params, inp, 1.0, clip_emb, tids2)
+        return eps[0]
 
     compiled = cfg_fwd.lower(params, lat0).compile()
     flops = compiled.cost_analysis()["flops"]
@@ -183,6 +180,11 @@ def bench_completion_pair(dt_guided):
                                     method="decode").astype(jnp.float32))
         return jnp.concatenate(frames, axis=0)
 
+    # keep the chained input's dtype IDENTICAL to the first call's — an f32
+    # promotion here silently recompiles the whole 4-chunk decode graph and
+    # the "decode time" becomes compile time (measured 130 s vs the real
+    # 2.4 s before this cast was added)
+    z25 = z25.astype(jnp.float32)
     out = decode(vp, z25)
     jax.block_until_ready(out)
     t0 = time.time()
@@ -247,7 +249,7 @@ def main():
             "completion_s_per_pair": round(pair_s, 1),
             "vae_encode27_s": round(enc_s, 2),
             "vae_decode25_s": round(dec_s, 2),
-            "unet_dual_cfg_fwd_ms": round(dt_fwd * 1e3, 1),
+            "unet_cfg_fwd_ms": round(dt_fwd * 1e3, 1),
             "unet_fwd_mfu_pct": round(mfu, 1),
             "gs_train_step_ms": round(gs_dt * 1e3, 1),
         },

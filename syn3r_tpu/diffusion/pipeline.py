@@ -26,10 +26,13 @@ TPU-first deviations (documented, quality-neutral or better):
     the 4 tiles — per-tile pred_x0 differs only by the reference's
     conv-padding/attention boundary artifacts. All scheduler math (per-tile
     sort, std, stitch) is replicated exactly.
-  - the two directions run as a vmapped axis of 2 by default: numerics per
+  - the two directions can run as a vmapped axis of 2 (multichip: one
+    direction per device via ``direction_sharding``): numerics per
     direction are IDENTICAL to two sequential calls (the batch-dependent
     temporal-context quirk sees batch 1 / CFG-2 per direction, as the
-    reference does), but XLA batches the matmuls across directions.
+    reference does). A single chip runs them sequentially inside the same
+    jit — the batched variant's 100-frame effective UNet batch exceeds
+    v5e HBM at full resolution (measured 17.8 vs 15.75 GB).
   - the whole 100-step loop runs inside one jit (lax.fori_loop).
 
 ``guidance_through_unet=True`` restores round-2's grad-through-the-UNet
@@ -97,16 +100,21 @@ class GuidedSVDConfig:
     # different numerics from the reference — opt-in only.
     guidance_through_unet: bool = False
     # run the forward/backward direction passes as a vmapped axis of 2 —
-    # identical numerics, batched matmuls. With ``direction_sharding`` (a
-    # NamedSharding whose leading axis spans >= 2 devices) each chip takes
-    # one direction. Auto-disabled when guidance_through_unet (two
-    # concurrent vjps double peak HBM: ~15.8 GB each at full resolution).
-    direction_parallel: bool = True
+    # identical numerics, batched matmuls. Defaults OFF on a single chip:
+    # the combined CFG x direction UNet batch (100 effective frames at
+    # 576x1024) needs ~17.8 GB of HBM vs the v5e's 15.75 (measured, round
+    # 3), so one chip runs the directions sequentially inside the same jit
+    # instead. With ``direction_sharding`` (a NamedSharding whose leading
+    # axis spans >= 2 devices) each chip takes one direction (batch 2 per
+    # device — fits) and the vmapped axis turns on automatically.
+    direction_parallel: bool = False
     direction_sharding: object = None
     compute_dtype: jnp.dtype = jnp.bfloat16
 
     def __post_init__(self):
-        if self.guidance_through_unet and self.direction_sharding is None:
+        if self.direction_sharding is not None:
+            self.direction_parallel = True
+        elif self.guidance_through_unet:
             self.direction_parallel = False
 
 

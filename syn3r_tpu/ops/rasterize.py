@@ -232,12 +232,43 @@ def _binned_gather(feats, order, idx, entry_valid):
     feats: (N, F) unsorted per-gaussian features; order: (N,) depth
     permutation; idx: (T, cap) sorted-space slot indices. Returns
     (T, cap, F) with invalid entries zeroed. The transpose (backward) is a
-    scatter-add of only T*cap entries — small enough that XLA:TPU's
-    serialized scatter is cheap; the forward compaction is the part that
-    must avoid a (T, N)-sized scatter (see rasterize_tiled).
+    scatter-add of only T*cap rows — measured ~7 ms inside the full train
+    step at 96 tiles x cap 512, CHEAPER than a scatter-free chunked
+    gather-sum rewrite (which cost ~44 ms: (T, N, F)-shaped cotangent
+    traffic dwarfs the small scatter). The forward compaction is the part
+    that must avoid a (T, N)-sized scatter (see rasterize_tiled).
     """
     g = feats[jax.lax.stop_gradient(order)[idx]]             # (T, cap, F)
     return jnp.where(entry_valid[..., None], g, 0.0)
+
+
+def _slots_from_cumsum(cs: jnp.ndarray, cap: int, block: int = 512):
+    """idx[t, s] = first index where the inclusive hit-cumsum reaches s+1
+    — i.e. the sorted-space position of tile t's s-th intersecting
+    gaussian. Exact equivalent of a batched ``searchsorted(cs[t], s+1)``
+    (returns N where a tile has fewer than s+1 hits), restructured for
+    TPU: binary search over the (T, N) cumsum costs log2(N) strided
+    gathers (measured 7.8 ms at 96x65536x512); instead search the (T,
+    N/block) block-end table by a dense compare-and-count and resolve the
+    offset inside the one candidate block the same way (measured 0.4 ms).
+    """
+    t, n = cs.shape
+    n_pad = -(-n // block) * block
+    if n_pad != n:
+        # pad with the row maximum — keeps rows monotone, adds no hits
+        cs = jnp.concatenate(
+            [cs, jnp.repeat(cs[:, -1:], n_pad - n, axis=1)], axis=1)
+    nb = n_pad // block
+    slots = jnp.arange(1, cap + 1, dtype=cs.dtype)
+    csb = cs.reshape(t, nb, block)
+    ends = csb[:, :, -1]                                     # (T, nb)
+    blk = jnp.sum((ends[:, None, :] < slots[None, :, None])
+                  .astype(jnp.int32), axis=2)                # (T, cap)
+    blk = jnp.minimum(blk, nb - 1)
+    seg = jnp.take_along_axis(csb, blk[:, :, None], axis=1)  # (T, cap, blk)
+    off = jnp.sum((seg < slots[None, :, None]).astype(jnp.int32), axis=2)
+    # missing slots land at n_pad in the padded row — clamp to searchsorted's n
+    return jnp.minimum(blk * block + off, n)
 
 
 @functools.partial(jax.jit, static_argnames=("height", "width", "tile_h",
@@ -260,10 +291,12 @@ def rasterize_tiled(sg: ScreenGaussians, height: int, width: int,
 
     Scatter-free forward by construction: XLA:TPU serializes general
     scatters, so the compaction is expressed as gathers — slot s of tile t
-    is found by a batched searchsorted over the per-tile hit cumsum. The
-    backward of the per-tile feature gather is XLA's default gather
-    transpose, a scatter-add of only T*cap rows (vs the (T, N) scatter the
-    forward avoids) — cheap at production sizes (see ``_binned_gather``).
+    holds the gaussian at the first index where the per-tile hit cumsum
+    reaches s+1, located by a blocked compare-and-count search
+    (``_slots_from_cumsum``). The backward of the per-tile feature gather
+    is XLA's default gather transpose, a scatter-add of only T*cap rows
+    (vs the (T, N) scatter the forward avoids) — measured cheaper than any
+    scatter-free rewrite of it (see ``_binned_gather``).
     """
     n = sg.center.shape[0]
     ty = -(-height // tile_h)
@@ -304,9 +337,7 @@ def rasterize_tiled(sg: ScreenGaussians, height: int, width: int,
     # pure recompute at N=65k when an SSIM conv shares the graph).
     cs = jax.lax.optimization_barrier(cs)
     counts = cs[:, -1]
-    slots = jnp.arange(1, cap + 1, dtype=jnp.int32)
-    idx = jax.vmap(lambda row: jnp.searchsorted(row, slots,
-                                                side="left"))(cs)
+    idx = _slots_from_cumsum(cs, cap)
     idx = jnp.minimum(idx, n - 1)                              # (T, cap)
     idx = jax.lax.optimization_barrier(idx)
     entry_valid = jnp.arange(cap)[None, :] < jnp.minimum(counts, cap)[:, None]

@@ -86,3 +86,20 @@ def test_tiled_overflow_drops_back():
                              chunk=1, group=1)
     c = np.asarray(out.rgb[32, 32])
     assert c[0] > 0.8 and c[1] < 1e-3  # only the front one rendered
+
+
+def test_slots_from_cumsum_matches_searchsorted():
+    """The blocked compare-and-count slot search is bit-exact vs a batched
+    searchsorted over the hit cumsum, including tiles with fewer hits than
+    cap (missing slots must return N like searchsorted) and N not a
+    multiple of the block size."""
+    rng = np.random.default_rng(3)
+    for n, t, cap, block in [(4096, 24, 256, 512), (1000, 7, 64, 512),
+                             (513, 3, 700, 128)]:
+        hit = jnp.asarray(rng.random((t, n)) < 0.1)
+        cs = jnp.cumsum(hit.astype(jnp.int32), axis=1)
+        slots = jnp.arange(1, cap + 1, dtype=jnp.int32)
+        ref = jax.vmap(lambda row: jnp.searchsorted(row, slots,
+                                                    side="left"))(cs)
+        new = rz._slots_from_cumsum(cs, cap, block=block)
+        np.testing.assert_array_equal(np.asarray(new), np.asarray(ref))
