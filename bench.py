@@ -5,10 +5,12 @@ Primary metric: guided SVD denoise steps/sec — BOTH directions of the
 reference's hot loop B per step, with the reference's DETACHED guidance
 gradient (SVD_2pass_prob_uncertain_post.py:732-733: the UNet input is
 detached, so the grad is closed-form through pred_x0's sample/(sigma^2+1)
-term — no UNet backward). Per step and direction: one uncond UNet forward (batch 1), the 4-tile
-closed-form grad, one CFG UNet forward (batch 2), Euler update; then the
-direction merge. Directions run sequentially inside one jit — the batched
-variant exceeds v5e HBM at full size (measured 17.8 vs 15.75 GB).
+term — no UNet backward). Per step and direction: ONE fused batch-3 UNet
+forward (guidance uncond + CFG pair, batch_groups=(1,2) — same math as the
+reference's separate batch-1 + batch-2 calls), the 4-tile closed-form grad,
+Euler update; then the direction merge. Directions run sequentially inside
+one jit — the direction-batched variant exceeds v5e HBM at full size
+(measured 17.8 vs 15.75 GB).
 Full SVD-XT config, 25 frames, 72x128 latents, bf16.
 
 extra carries the other north-star metrics (BASELINE.md):
@@ -27,16 +29,35 @@ import json
 import time
 
 
-def _chain_time(step, x0, iters):
+def _drain(x):
+    """Force completion. block_until_ready is NOT sufficient under the
+    axon remote runtime when a jit output aliases a pallas custom-call
+    buffer (measured: it returns immediately); a scalar readback of one
+    element drains the queue for real."""
     import jax
-    x = step(x0)
-    jax.block_until_ready(x)
-    t0 = time.time()
-    x = x0
-    for _ in range(iters):
-        x = step(x)
-    jax.block_until_ready(x)
-    return (time.time() - t0) / iters
+    import jax.numpy as jnp
+    leaf = jax.tree.leaves(x)[0]
+    return float(jnp.sum(leaf.astype(jnp.float32).ravel()[:1]))
+
+
+def _chain_time(step, x0, iters):
+    """Two-point slope timing: run chains of n1 and n2 iterations and take
+    (T2 - T1) / (n2 - n1) — cancels the fixed dispatch/readback overhead
+    and is immune to async-queue fakery (each iteration's input is the
+    previous output; the final readback forces completion)."""
+    def run(n):
+        t0 = time.time()
+        x = x0
+        for _ in range(n):
+            x = step(x)
+        _drain(x)
+        return time.time() - t0
+
+    run(1)                                   # warmup / compile
+    n1, n2 = 1, 1 + iters
+    t1 = run(n1)
+    t2 = run(n2)
+    return max(t2 - t1, 1e-9) / (n2 - n1)
 
 
 def bench_guided_denoise():
@@ -69,32 +90,35 @@ def bench_guided_denoise():
     clip_emb = jax.random.normal(rng, (2, 1, 1024), jnp.float32)
     tids2 = jnp.tile(tids1, (2, 1))
 
-    def unet_fp32(p, x, t, e, ti):
+    def unet_fp32(p, x, t, e, ti, groups=None):
         return unet.apply(p, x.astype(dtype), t, e.astype(dtype),
-                          ti).astype(jnp.float32)
+                          ti, batch_groups=groups).astype(jnp.float32)
+
+    tids3 = jnp.tile(tids1, (3, 1))
 
     def direction_step(params, latents, cond_d, mask_d, step_i):
-        """One direction of the guided step: uncond forward + closed-form
-        tiled grad, then a CFG (batch 2) forward at the PRE-grad latents
-        and an Euler update from the POST-grad ones (reference :781-800)."""
+        """One direction of the guided step, FUSED: the batch-1 uncond
+        guidance pass and the batch-2 CFG pass evaluate the same pre-grad
+        latents, so they run as ONE batch-3 forward with batch_groups=(1,2)
+        (same math as the separate calls — the grouped time-context quirk).
+        Closed-form tiled grad from row 0's pred_x0; Euler update from the
+        POST-grad latents with the CFG eps (reference :781-800)."""
         t = sch.timesteps[step_i]
         sigma = sch.sigmas[step_i]
         scaled = S.scale_model_input(sch, latents, step_i)
-        inp = jnp.concatenate([scaled, jnp.zeros_like(img_lat)],
-                              axis=-1)[None]
-        eps = unet_fp32(params, inp, t, jnp.zeros_like(clip_emb[:1]),
-                        tids1)[0]
-        x0 = S.pred_original_sample(eps, latents, sigma)
+        uncond = jnp.concatenate([scaled, jnp.zeros_like(img_lat)], axis=-1)
+        inp3 = jnp.stack([
+            uncond, uncond,
+            jnp.concatenate([scaled, img_lat], axis=-1)], axis=0)
+        ehs3 = jnp.concatenate([jnp.zeros_like(clip_emb[:1]), clip_emb],
+                               axis=0)
+        eps3 = unet_fp32(params, inp3, t, ehs3, tids3, (1, 2))
+        x0 = S.pred_original_sample(eps3[0], latents, sigma)
         grad = S.guidance_grad_tiled(
             x0.transpose(0, 3, 1, 2), cond_d.transpose(0, 3, 1, 2),
             mask_d, lam[step_i], sigma, lr=0.02)
         next_lat = latents - grad.transpose(0, 2, 3, 1)
-
-        inp = jnp.stack([
-            jnp.concatenate([scaled, jnp.zeros_like(img_lat)], axis=-1),
-            jnp.concatenate([scaled, img_lat], axis=-1)], axis=0)
-        eps = unet_fp32(params, inp, t, clip_emb, tids2)
-        eps = eps[0] + guidance * (eps[1] - eps[0])
+        eps = eps3[1] + guidance * (eps3[2] - eps3[1])
         prev, _ = S.step_interp(sch, eps, next_lat, step_i)
         return prev
 
@@ -157,7 +181,7 @@ def bench_completion_pair(dt_guided):
         return vae.apply(p, (x * 2 - 1).astype(dtype), method="encode_mode")
 
     lat1 = encode(vp, img)
-    jax.block_until_ready(lat1)
+    _drain(lat1)
     t0 = time.time()
     outs = []
     x = img
@@ -165,7 +189,7 @@ def bench_completion_pair(dt_guided):
         z = encode(vp, x)
         outs.append(z)
         x = img + z.astype(jnp.float32).mean() * 0.0  # chain
-    jax.block_until_ready(outs[-1])
+    _drain(outs[-1])
     t_encode = time.time() - t0
 
     z25 = jnp.concatenate([jnp.tile(o[:1], (1, 1, 1, 1)) for o in outs[:25]],
@@ -186,10 +210,10 @@ def bench_completion_pair(dt_guided):
     # 2.4 s before this cast was added)
     z25 = z25.astype(jnp.float32)
     out = decode(vp, z25)
-    jax.block_until_ready(out)
+    _drain(out)
     t0 = time.time()
     out = decode(vp, z25 + out.mean() * 0.0)
-    jax.block_until_ready(out)
+    _drain(out)
     t_decode = time.time() - t0
 
     return t_encode + 100.0 * dt_guided + t_decode, t_encode, t_decode

@@ -99,6 +99,12 @@ class GuidedSVDConfig:
     # of the reference's detached closed-form gradient. ~2-3x the cost and
     # different numerics from the reference — opt-in only.
     guidance_through_unet: bool = False
+    # fuse the post variant's guidance (batch 1) + CFG (batch 2) UNet
+    # passes into ONE batch-3 forward with batch_groups=(1, 2) — same math
+    # to the separate calls (the grouped time-context quirk reproduces each
+    # sub-call's batch semantics; see UNetSpatioTemporalConditionModel),
+    # one dispatch and better MXU occupancy instead of two.
+    fused_guidance_cfg: bool = True
     # run the forward/backward direction passes as a vmapped axis of 2 —
     # identical numerics, batched matmuls. Defaults OFF on a single chip:
     # the combined CFG x direction UNet batch (100 effective frames at
@@ -204,11 +210,20 @@ class GuidedSVDPipeline:
                             self.cfg.noise_aug_strength]], jnp.float32)
         return jnp.tile(row, (batch, 1))
 
-    def _unet(self, params, sample, t, ehs, tids):
+    def _unet(self, params, sample, t, ehs, tids, batch_groups=None):
         dt = self.cfg.compute_dtype
         out = self.m.unet.apply(params, sample.astype(dt), t,
-                                ehs.astype(dt), tids)
+                                ehs.astype(dt), tids,
+                                batch_groups=batch_groups)
         return out.astype(jnp.float32)
+
+    def _tile_mode(self, latents) -> str:
+        """Resolve guidance_tile_mode='auto' from the latent grid size."""
+        tmode = self.cfg.guidance_tile_mode
+        if tmode == "auto":
+            hl, wl = latents.shape[1:3]
+            tmode = "reference" if hl >= 25 and wl >= 57 else "scaled"
+        return tmode
 
     def _unet_remat(self, params, sample, t, ehs, tids):
         """Per-block-remat variant for the gradient-guidance vjp: bounds
@@ -277,6 +292,33 @@ class GuidedSVDPipeline:
                 grad = S.normalize_guidance_grad(grad, sigma,
                                                  lr=cfg.guidance_lr)
                 latents = latents - grad
+            elif cfg.variant == "post" and cfg.fused_guidance_cfg:
+                # -- reference semantics, fused: the guidance pass (batch 1
+                # uncond — SVD_2pass_prob_uncertain_post.py:758-769 tile
+                # rows [0:1]) and the CFG pass (batch 2) evaluate the SAME
+                # pre-grad latents, so run them as ONE batch-3 forward with
+                # batch_groups=(1, 2): same math as the separate calls (the
+                # grouped time-context quirk), one dispatch instead of two.
+                scaled = S.scale_model_input(sch, latents, step_i)
+                uncond_inp = jnp.concatenate(
+                    [scaled, jnp.zeros_like(img_lat)], axis=-1)
+                inp3 = jnp.stack([
+                    uncond_inp,
+                    uncond_inp,
+                    jnp.concatenate([scaled, img_lat], axis=-1)], axis=0)
+                ehs3 = jnp.concatenate(
+                    [jnp.zeros_like(clip_emb[:1]), clip_emb], axis=0)
+                eps3 = unet_plain(inp3, t, ehs3, self._added_time_ids(3),
+                                  (1, 2))
+                x0 = S.pred_original_sample(eps3[0], latents, sigma)
+                grad = S.guidance_grad_tiled(
+                    x0.transpose(0, 3, 1, 2), cond.transpose(0, 3, 1, 2),
+                    msk, lam[step_i], sigma, lr=cfg.guidance_lr,
+                    tile_mode=self._tile_mode(latents))
+                latents = latents - grad.transpose(0, 2, 3, 1)
+                eps = eps3[1] + guidance * (eps3[2] - eps3[1])
+                prev, _ = S.step_interp(sch, eps, latents, step_i)
+                return prev
             elif cfg.variant == "post":
                 # -- reference semantics: detached closed-form guidance ----
                 # one uncond forward (zero CLIP context, zero image
@@ -288,15 +330,10 @@ class GuidedSVDPipeline:
                 eps = unet_plain(inp, t, jnp.zeros_like(clip_emb[:1]),
                                  tids1)[0]
                 x0 = S.pred_original_sample(eps, latents, sigma)
-                tmode = cfg.guidance_tile_mode
-                if tmode == "auto":
-                    hl, wl = latents.shape[1:3]
-                    tmode = ("reference" if hl >= 25 and wl >= 57
-                             else "scaled")
                 grad = S.guidance_grad_tiled(
                     x0.transpose(0, 3, 1, 2), cond.transpose(0, 3, 1, 2),
                     msk, lam[step_i], sigma, lr=cfg.guidance_lr,
-                    tile_mode=tmode)
+                    tile_mode=self._tile_mode(latents))
                 latents = latents - grad.transpose(0, 2, 3, 1)
 
             # -- CFG pass (at pre-grad latents) + Euler / soft-replacement

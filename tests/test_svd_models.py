@@ -118,3 +118,83 @@ def test_vae_parity_tiny():
                    method="decode")
     np.testing.assert_allclose(np.asarray(dec).transpose(0, 3, 1, 2),
                                dec_ref, rtol=2e-3, atol=5e-4)
+
+
+def test_unet_batch_groups_fused_equals_separate():
+    """A batch-3 forward with batch_groups=(1, 2) must equal the separate
+    batch-1 and batch-2 calls exactly: the grouped time-context quirk is
+    the UNet's only cross-batch coupling, so fusing the guided denoiser's
+    guidance + CFG passes into one call preserves reference numerics."""
+    rng = jax.random.PRNGKey(0)
+    unet = UNetSpatioTemporalConditionModel(
+        block_out_channels=(32, 64), num_attention_heads=(2, 4),
+        layers_per_block=1, addition_time_embed_dim=4)
+    f, h, w = 3, 8, 8
+    k1, k2, k3 = jax.random.split(rng, 3)
+    sample = jax.random.normal(k1, (3, f, h, w, 8))
+    ehs = jax.random.normal(k2, (3, 1, 1024))
+    tids = jnp.asarray([[6.0, 127.0, 0.02]] * 3)
+    params = unet.init(k3, sample[:1], 1.3, ehs[:1], tids[:1])
+
+    fused = unet.apply(params, sample, 1.3, ehs, tids,
+                       batch_groups=(1, 2))
+    out1 = unet.apply(params, sample[:1], 1.3, ehs[:1], tids[:1])
+    out2 = unet.apply(params, sample[1:], 1.3, ehs[1:], tids[1:])
+    sep = jnp.concatenate([out1, out2], axis=0)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(sep),
+                               rtol=1e-5, atol=1e-5)
+
+    # and a PLAIN batch-3 call (single group) must NOT equal the separate
+    # calls — the quirk really couples the batch, which is exactly why the
+    # grouped variant exists
+    plain = unet.apply(params, sample, 1.3, ehs, tids)
+    assert np.abs(np.asarray(plain) - np.asarray(sep)).max() > 1e-6
+
+    # remat path wires batch_groups through the lifted statics identically
+    unet_r = unet.clone(remat_blocks=True)
+    fused_r = unet_r.apply(params, sample, 1.3, ehs, tids,
+                           batch_groups=(1, 2))
+    # remat recomputes activations; XLA reassociation shifts low f32 bits
+    np.testing.assert_allclose(np.asarray(fused_r), np.asarray(fused),
+                               rtol=2e-4, atol=1e-5)
+
+
+def test_attention_packed_heads_matches_dense():
+    """Packed-head tiny-seq attention (the temporal-attn fast path) is
+    bit-equal math to per-head dense attention."""
+    from syn3r_tpu.models.layers import (_attention, _attention_dense,
+                                         _attention_packed_heads)
+    rng = jax.random.PRNGKey(0)
+    kq, kk, kv = jax.random.split(rng, 3)
+    q = jax.random.normal(kq, (3, 5, 25, 64))
+    k = jax.random.normal(kk, (3, 5, 25, 64))
+    v = jax.random.normal(kv, (3, 5, 25, 64))
+    ref = _attention_dense(q, k, v, 0.125)
+    packed = _attention_packed_heads(q, k, v, 0.125)
+    np.testing.assert_allclose(np.asarray(packed), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+    # the dispatcher routes this shape to the packed path
+    via = _attention(q, k, v, 0.125)
+    np.testing.assert_allclose(np.asarray(via), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_cross_attention_single_token_shortcut():
+    """kv-seq-1 cross attention == broadcast linear map of the token
+    (softmax over one key is exactly 1), checked against explicit
+    attention math with the same params."""
+    from syn3r_tpu.models.layers import Attention
+    rng = jax.random.PRNGKey(1)
+    attn = Attention(heads=2, dim_head=8)
+    x = jax.random.normal(rng, (2, 7, 16))
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (2, 1, 12))
+    p = attn.init(rng, x, ctx)
+    out = attn.apply(p, x, ctx)
+    # explicit: softmax((q k^T)/sqrt(d)) v == v for a single key
+    pd = p["params"]
+    v = ctx @ pd["to_v"]["kernel"]
+    expect = (v @ pd["to_out_0"]["kernel"]
+              + pd["to_out_0"]["bias"])             # (2, 1, 16)
+    expect = jnp.broadcast_to(expect, out.shape)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                               rtol=1e-6, atol=1e-6)
