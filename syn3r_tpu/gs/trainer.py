@@ -236,12 +236,17 @@ class GSTrainer:
 
     # -- jitted pieces ------------------------------------------------------
 
-    @functools.partial(jax.jit,
-                       static_argnames=("self", "use_lpips", "use_depth"))
-    def _train_step(self, ts: TrainState, camera: Camera,
-                    image: jnp.ndarray, depth_target=None,
-                    lpips_params=None, use_lpips: bool = False,
-                    use_depth: bool = False) -> tuple[TrainState, dict]:
+    def _step_math(self, ts: TrainState, camera: Camera,
+                   image: jnp.ndarray, depth_target, depth_flag,
+                   lpips_params, use_lpips: bool,
+                   use_depth: bool) -> tuple[TrainState, dict]:
+        """One optimization step as pure traced math (shared by the
+        per-step jit and the batched-segment scan). ``depth_flag`` is a
+        traced 0/1 scalar gating the depth term inside a scan where the
+        pseudo-vs-real pick varies per iteration; ``use_depth`` statically
+        removes the term's graph when no pseudo depths exist at all.
+        ``pearson_depth_loss`` is finite (value and gradient) on an
+        all-invalid target, so flag-gating is numerically safe."""
         cfg = self.cfg
         g = ts.gaussians
         params = G.get_params(g)
@@ -274,7 +279,7 @@ class GSTrainer:
                                                                1e-6), 0.0)
                 dl = losses.pearson_depth_loss(pred_depth, depth_target,
                                                valid=depth_target > 0)
-                loss = loss + cfg.depth_loss_weight * dl
+                loss = loss + depth_flag * cfg.depth_loss_weight * dl
             return loss, sg
 
         (loss, sg), (grads, g_off) = jax.value_and_grad(
@@ -300,6 +305,48 @@ class GSTrainer:
                             adam=new_adam, stats=new_stats,
                             step=ts.step + 1, key=ts.key)
         return new_ts, {"loss": loss}
+
+    @functools.partial(jax.jit,
+                       static_argnames=("self", "use_lpips", "use_depth"))
+    def _train_step(self, ts: TrainState, camera: Camera,
+                    image: jnp.ndarray, depth_target=None,
+                    lpips_params=None, use_lpips: bool = False,
+                    use_depth: bool = False) -> tuple[TrainState, dict]:
+        return self._step_math(ts, camera, image, depth_target,
+                               jnp.float32(1.0), lpips_params, use_lpips,
+                               use_depth)
+
+    @functools.partial(jax.jit,
+                       static_argnames=("self", "use_lpips", "use_depth"))
+    def _train_steps(self, ts: TrainState, all_cams: Camera,
+                     all_images: jnp.ndarray, all_depths, idx_k: jnp.ndarray,
+                     flags_k: jnp.ndarray, lpips_params=None,
+                     use_lpips: bool = False,
+                     use_depth: bool = False) -> tuple[TrainState,
+                                                       jnp.ndarray]:
+        """A whole SEGMENT of train steps in one dispatch (lax.scan).
+
+        The per-iteration Python dispatch of ``_train_step`` costs more
+        host time than the step's device time on this class of host
+        (measured ~30 ms/iter wall vs 14.7 ms device at 65k gaussians);
+        scanning k steps per dispatch removes it. ``idx_k``/``flags_k``
+        are the host-pre-picked view indices into the merged
+        train+pseudo arrays (RNG stream identical to the per-step path)
+        and the pseudo-pick depth gates; views are gathered row-by-row
+        inside the scan body, so the segment never materializes a
+        (k, H, W, 3) batch in HBM."""
+
+        def body(ts, xs):
+            i, flag = xs
+            cam = jax.tree.map(lambda x: x[i], all_cams)
+            img = all_images[i]
+            dep = all_depths[i] if use_depth else None
+            ts, metrics = self._step_math(ts, cam, img, dep, flag,
+                                          lpips_params, use_lpips,
+                                          use_depth)
+            return ts, metrics["loss"]
+
+        return jax.lax.scan(body, ts, (idx_k, flags_k))
 
     @functools.partial(jax.jit, static_argnames=("self",))
     def _densify_step(self, ts: TrainState) -> TrainState:
@@ -364,9 +411,11 @@ class GSTrainer:
     def gaussians(self) -> G.GaussianState:
         return self.state.gaussians
 
-    def _pick_view(self, it: int):
-        """Returns (camera, image, pseudo_index or None). Pseudo-sampling
-        semantics documented at TrainConfig.pseudo_cam_sampling_rate."""
+    def _pick_view_index(self, it: int) -> tuple[int, bool]:
+        """Returns (index into its source set, is_pseudo). Pseudo-sampling
+        semantics documented at TrainConfig.pseudo_cam_sampling_rate. The
+        RNG draw order is the contract — the batched segment path pre-picks
+        with the identical stream."""
         cfg = self.cfg
         eligible = (self.pseudo_views is not None
                     and len(self.pseudo_views) > 0
@@ -378,37 +427,113 @@ class GSTrainer:
             p = (1.0 if cfg.pseudo_cam_sampling_rate <= 0
                  else min(1.0, cfg.pseudo_cam_sampling_rate))
             if self._rng.random() < p:
-                i = int(self._rng.integers(n))
-                cam, img = self.pseudo_views.view(i)
-                return cam, img, i
-        i = int(self._rng.integers(len(self.train_views)))
+                return int(self._rng.integers(n)), True
+        return int(self._rng.integers(len(self.train_views))), False
+
+    def _pick_view(self, it: int):
+        """Returns (camera, image, pseudo_index or None)."""
+        i, is_pseudo = self._pick_view_index(it)
+        if is_pseudo:
+            cam, img = self.pseudo_views.view(i)
+            return cam, img, i
         cam, img = self.train_views.view(i)
         return cam, img, None
+
+    def _merged_views(self):
+        """Train + pseudo views merged into single device arrays for the
+        batched segment path: (cameras, images (V,H,W,3), depths (V,H,W)).
+        Returns None when the two sets' resolutions differ (then the
+        per-step fallback runs)."""
+        tv = self.train_views
+        if self.pseudo_views is None or len(self.pseudo_views) == 0:
+            depths = jnp.zeros(tv.images.shape[:3], jnp.float32)
+            return tv.cameras, tv.images, depths
+        pv = self.pseudo_views
+        if tv.images.shape[1:] != pv.images.shape[1:]:
+            return None
+        cams = jax.tree.map(lambda a, b: jnp.concatenate([a, b], axis=0),
+                            tv.cameras, pv.cameras)
+        images = jnp.concatenate([tv.images, pv.images], axis=0)
+        if self.pseudo_depths is not None:
+            depths = jnp.concatenate(
+                [jnp.zeros(tv.images.shape[:3], jnp.float32),
+                 jnp.asarray(self.pseudo_depths, jnp.float32)], axis=0)
+        else:
+            depths = jnp.zeros((images.shape[0],) + images.shape[1:3],
+                               jnp.float32)
+        return cams, images, depths
+
+    def _next_boundary(self, it: int, end_iter: int, densify: bool,
+                       log_every: int) -> int:
+        """First iteration count (exclusive end) after ``it`` at which a
+        host-side action (densify / opacity reset / capacity growth / log)
+        may run. Breaking a segment where no action fires is a no-op, so
+        boundaries are conservatively every interval multiple."""
+        cfg = self.cfg
+        nxt = end_iter
+        intervals = []
+        if densify:
+            intervals += [cfg.densification_interval,
+                          cfg.opacity_reset_interval]
+        if log_every:
+            intervals.append(log_every)
+        for iv in intervals:
+            if iv and iv > 0:
+                nxt = min(nxt, ((it // iv) + 1) * iv)
+        return max(nxt, it + 1)
 
     def _run_loop(self, start_iter: int, end_iter: int,
                   densify: bool = True, log_every: int = 0):
         cfg = self.cfg
         last_loss = float("nan")
+        loss_dev = None
         use_lpips = bool(self.use_lpips_loss and self._lpips_params
                          is not None and cfg.lpips_weight > 0)
-        for it in range(start_iter, end_iter):
-            cam, img, pseudo_i = self._pick_view(it)
-            use_depth = (pseudo_i is not None and cfg.svd_depth_warmup > 0
-                         and self.pseudo_depths is not None)
-            depth_t = self.pseudo_depths[pseudo_i] if use_depth else None
-            self.state, metrics = self._train_step(
-                self.state, cam, img, depth_t,
-                self._lpips_params if use_lpips else None,
-                use_lpips=use_lpips, use_depth=use_depth)
-            if densify and cfg.densify_from_iter <= it < cfg.densify_until_iter:
-                if (it + 1) % cfg.densification_interval == 0:
+        use_depth = bool(cfg.svd_depth_warmup > 0
+                         and self.pseudo_depths is not None
+                         and self.pseudo_views is not None
+                         and len(self.pseudo_views) > 0)
+        merged = self._merged_views()
+        n_train = len(self.train_views)
+        lpips_p = self._lpips_params if use_lpips else None
+
+        it = start_iter
+        while it < end_iter:
+            seg_end = self._next_boundary(it, end_iter, densify, log_every)
+            k = seg_end - it
+            if merged is not None and k > 1:
+                idx = np.empty(k, np.int32)
+                flags = np.zeros(k, np.float32)
+                for j in range(k):
+                    i, is_pseudo = self._pick_view_index(it + j)
+                    idx[j] = i + n_train if is_pseudo else i
+                    flags[j] = 1.0 if is_pseudo else 0.0
+                cams, images, depths = merged
+                self.state, losses_k = self._train_steps(
+                    self.state, cams, images, depths if use_depth else None,
+                    jnp.asarray(idx), jnp.asarray(flags), lpips_p,
+                    use_lpips=use_lpips, use_depth=use_depth)
+                loss_dev = losses_k[-1]
+            else:
+                for j in range(k):
+                    cam, img, pseudo_i = self._pick_view(it + j)
+                    ud = (pseudo_i is not None and use_depth)
+                    depth_t = self.pseudo_depths[pseudo_i] if ud else None
+                    self.state, metrics = self._train_step(
+                        self.state, cam, img, depth_t, lpips_p,
+                        use_lpips=use_lpips, use_depth=ud)
+                    loss_dev = metrics["loss"]
+            it = seg_end
+            last = it - 1   # the iteration index the boundary checks see
+            if densify and cfg.densify_from_iter <= last < cfg.densify_until_iter:
+                if (last + 1) % cfg.densification_interval == 0:
                     self.state = self._densify_step(self.state)
                     self._maybe_grow()
-                if (it + 1) % cfg.opacity_reset_interval == 0:
+                if (last + 1) % cfg.opacity_reset_interval == 0:
                     self.state = self._reset_opacity_step(self.state)
-            if log_every and (it + 1) % log_every == 0:
-                last_loss = float(metrics["loss"])
-                print(f"[gs] iter {it + 1} loss {last_loss:.4f} "
+            if log_every and (last + 1) % log_every == 0:
+                last_loss = float(loss_dev)
+                print(f"[gs] iter {last + 1} loss {last_loss:.4f} "
                       f"active {int(self.gaussians.num_active)}")
         return last_loss
 

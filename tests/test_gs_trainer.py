@@ -305,3 +305,38 @@ def test_pseudo_sampling_rate_semantics(tmp_path):
     # rate <= 0: pure interval cadence (every eligible iteration pseudo)
     tr.cfg.pseudo_cam_sampling_rate = 0.0
     assert all(tr._pick_view(i)[2] is not None for i in range(50))
+
+
+def test_segment_scan_matches_per_step(tmp_path):
+    """The batched-segment scan path (one lax.scan dispatch per densify
+    window) must reproduce the per-step dispatch path exactly: same RNG
+    pick stream, same math, including mixed real/pseudo picks with depth
+    supervision."""
+    _, cams, imgs = _toy_scene(n_views=2)
+    views = make_viewset(cams, imgs)
+    kw = dict(iterations=24, chunk=8, group=1, densify_from_iter=8,
+              densify_until_iter=20, densification_interval=8,
+              opacity_reset_interval=10 ** 9,
+              sample_svd_pseudo_interval=2, start_sample_svd_iter=4,
+              pseudo_cam_sampling_rate=0.5, svd_depth_warmup=1, seed=3)
+
+    def build():
+        tr = GSTrainer(make_viewset(cams, imgs), TrainConfig(**kw),
+                       _simple_state(), model_path=str(tmp_path))
+        poses = np.stack([np.asarray(cams[0].w2c)] * 3)
+        tr.update_cameras(imgs[:1].repeat(3, axis=0), poses,
+                          np.asarray(cams[0].K), append=False)
+        tr.pseudo_depths = jnp.ones((3, 36, 48), jnp.float32) * 2.0
+        return tr
+
+    tr_scan = build()
+    tr_scan.training(log_every=0)
+
+    tr_step = build()
+    tr_step._merged_views = lambda: None   # force the per-step fallback
+    tr_step.training(log_every=0)
+
+    a = np.asarray(tr_scan.gaussians.means)
+    b = np.asarray(tr_step.gaussians.means)
+    np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
+    assert int(tr_scan.state.step) == int(tr_step.state.step) == 24
