@@ -34,6 +34,54 @@ def timestep_embedding(timesteps: jnp.ndarray, dim: int,
                            axis=-1)
 
 
+class GroupNorm(nn.Module):
+    """Drop-in for nn.GroupNorm (same param tree: scale/bias).
+
+    Routed through ``ops.pallas_norm.group_norm``: on TPU the stats and
+    the normalize(+optional silu) run as Pallas kernels — XLA's layout
+    assignment gives the UNet's conv activations batch-on-sublane layouts
+    under which its own reduce emitter runs ~20x below HBM bandwidth
+    (traced: 585 ms of a 2.9 s full UNet forward was norm statistics).
+    Off-TPU (tests) the jnp channel-major reference runs. Stats and
+    affine in f32 regardless of compute dtype; output cast to ``dtype``.
+    ``silu=True`` fuses the activation into the same pass (no extra param,
+    same param tree)."""
+    num_groups: int = 32
+    epsilon: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+    silu: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.pallas_norm import group_norm
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        x3 = x.reshape(x.shape[0], -1, c)
+        y = group_norm(x3, scale, bias, self.num_groups, self.epsilon,
+                       self.dtype, self.silu)
+        return y.reshape(x.shape)
+
+
+class LayerNorm(nn.Module):
+    """Drop-in for nn.LayerNorm (same param tree: scale/bias), routed
+    through ``ops.pallas_norm.layer_norm`` (single fused pass on TPU —
+    see GroupNorm's rationale; LN stats are per-row so no second pass is
+    needed at all)."""
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.pallas_norm import layer_norm
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        x2 = x.reshape(-1, c)
+        y = layer_norm(x2, scale, bias, self.epsilon, self.dtype)
+        return y.reshape(x.shape)
+
+
 class TimestepEmbedding(nn.Module):
     """Two-layer MLP over sinusoidal features (linear_1/act/linear_2)."""
     time_embed_dim: int
@@ -146,6 +194,32 @@ def _attention(q, k, v, scale):
                         block_k_dkv=b, block_q_dkv=b,
                         block_k_major_dq=b, block_k_dq=b, block_q_dq=b)
         return flash_attention(q, k, v, sm_scale=scale, block_sizes=bs)
+    if (platform in ("tpu", "axon") and sq == sk and q.shape[3] <= 128
+            and 128 < sq and -(-sq // 128) * 128 <= 1024):
+        # 128-indivisible mid sequences (SVD's 18x32=576-token level):
+        # zero-pad to the next 128 multiple and mask the pad columns with
+        # flash segment ids (padded keys contribute exactly nothing; padded
+        # query rows are sliced off) — exact numerics, single-block flash.
+        # Measured 22.3 -> 5.9 ms at (75, 20, 576, 64) vs the chunked
+        # fallback, whose 64-row q chunks starve the MXU.
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            BlockSizes, SegmentIds, flash_attention)
+        pad_to = -(-sq // 128) * 128
+        p = pad_to - sq
+        qp = jnp.pad(q, ((0, 0), (0, 0), (0, p), (0, 0)))
+        kp = jnp.pad(k, ((0, 0), (0, 0), (0, p), (0, 0)))
+        vp = jnp.pad(v, ((0, 0), (0, 0), (0, p), (0, 0)))
+        seg = (jnp.arange(pad_to) < sq).astype(jnp.int32)[None]
+        seg = jnp.broadcast_to(seg, (q.shape[0], pad_to))
+        b = pad_to
+        bs = BlockSizes(block_q=b, block_k_major=b, block_k=b, block_b=1,
+                        block_q_major_dkv=b, block_k_major_dkv=b,
+                        block_k_dkv=b, block_q_dkv=b,
+                        block_k_major_dq=b, block_k_dq=b, block_q_dq=b)
+        out = flash_attention(qp, kp, vp, sm_scale=scale,
+                              segment_ids=SegmentIds(q=seg, kv=seg),
+                              block_sizes=bs)
+        return out[:, :, :sq]
     return _attention_chunked(q, k, v, scale)
 
 
@@ -176,7 +250,7 @@ class Attention(nn.Module):
             x = x.reshape(b, h * w, c)
         residual = x
         if self.norm_num_groups is not None:
-            x = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=self.eps,
+            x = GroupNorm(num_groups=self.norm_num_groups, epsilon=self.eps,
                              dtype=self.dtype, name="group_norm")(x)
         ctx = x if context is None else context
         inner = self.heads * self.dim_head
@@ -252,18 +326,16 @@ class ResnetBlock2D(nn.Module):
 
     @nn.compact
     def __call__(self, x, temb=None):
-        h = nn.GroupNorm(num_groups=32, epsilon=self.eps, dtype=self.dtype,
-                         name="norm1")(x)
-        h = nn.silu(h)
+        h = GroupNorm(num_groups=32, epsilon=self.eps, dtype=self.dtype,
+                      silu=True, name="norm1")(x)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv1")(h)
         if temb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype,
                          name="time_emb_proj")(nn.silu(temb))
             h = h + t[:, None, None, :]
-        h = nn.GroupNorm(num_groups=32, epsilon=self.eps, dtype=self.dtype,
-                         name="norm2")(h)
-        h = nn.silu(h)
+        h = GroupNorm(num_groups=32, epsilon=self.eps, dtype=self.dtype,
+                      silu=True, name="norm2")(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv2")(h)
         if x.shape[-1] != self.out_channels:
@@ -283,18 +355,16 @@ class TemporalResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, temb=None):
-        h = nn.GroupNorm(num_groups=32, epsilon=self.eps, dtype=self.dtype,
-                         name="norm1")(x)
-        h = nn.silu(h)
+        h = GroupNorm(num_groups=32, epsilon=self.eps, dtype=self.dtype,
+                      silu=True, name="norm1")(x)
         h = nn.Conv(self.out_channels, (3, 1, 1), padding=((1, 1), (0, 0),
                     (0, 0)), dtype=self.dtype, name="conv1")(h)
         if temb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype,
                          name="time_emb_proj")(nn.silu(temb))
             h = h + t[:, :, None, None, :]
-        h = nn.GroupNorm(num_groups=32, epsilon=self.eps, dtype=self.dtype,
-                         name="norm2")(h)
-        h = nn.silu(h)
+        h = GroupNorm(num_groups=32, epsilon=self.eps, dtype=self.dtype,
+                      silu=True, name="norm2")(h)
         h = nn.Conv(self.out_channels, (3, 1, 1), padding=((1, 1), (0, 0),
                     (0, 0)), dtype=self.dtype, name="conv2")(h)
         if x.shape[-1] != self.out_channels:

@@ -26,6 +26,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from .layers import (AlphaBlender, Attention, Downsample2D, FeedForward,
+                     GroupNorm, LayerNorm,
                      ResnetBlock2D, TemporalResnetBlock, TimestepEmbedding,
                      Upsample2D, timestep_embedding)
 
@@ -68,13 +69,13 @@ class BasicTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, context):
-        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        h = LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         x = x + Attention(self.heads, self.dim_head, dtype=self.dtype,
                           name="attn1")(h)
-        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+        h = LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         x = x + Attention(self.heads, self.dim_head, dtype=self.dtype,
                           name="attn2")(h, context)
-        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
+        h = LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
         x = x + FeedForward(dim_out=x.shape[-1], dtype=self.dtype,
                             name="ff")(h)
         return x
@@ -90,17 +91,17 @@ class TemporalBasicTransformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x, context):
         res = x
-        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_in")(x)
+        h = LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_in")(x)
         h = FeedForward(dim_out=x.shape[-1], dtype=self.dtype,
                         name="ff_in")(h)
         x = h + res  # is_res: dim == time_mix_inner_dim in SVD
-        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        h = LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         x = x + Attention(self.heads, self.dim_head, dtype=self.dtype,
                           name="attn1")(h)
-        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+        h = LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         x = x + Attention(self.heads, self.dim_head, dtype=self.dtype,
                           name="attn2")(h, context)
-        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
+        h = LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
         x = x + FeedForward(dim_out=x.shape[-1], dtype=self.dtype,
                             name="ff")(h)
         return x
@@ -150,7 +151,7 @@ class TransformerSpatioTemporalModel(nn.Module):
         # ------------------------------------------------------------------
 
         residual = x
-        h = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=self.dtype,
+        h = GroupNorm(num_groups=32, epsilon=1e-6, dtype=self.dtype,
                          name="norm")(x)
         h = h.reshape(bf, height * width, channels)
         h = nn.Dense(inner, dtype=self.dtype, name="proj_in")(h)
@@ -431,9 +432,8 @@ class UNetSpatioTemporalConditionModel(nn.Module):
                     name=f"up_blocks_{i}")(x, res, emb, context, f,
                                            batch_groups)
 
-        x = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype,
-                         name="conv_norm_out")(x)
-        x = nn.silu(x)
+        x = GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype,
+                      silu=True, name="conv_norm_out")(x)
         x = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv_out")(x)
         return x.reshape(b, f, h, w, self.out_channels)

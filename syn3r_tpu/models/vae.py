@@ -18,7 +18,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .layers import Attention, ResnetBlock2D, Upsample2D
+from .layers import Attention, GroupNorm, ResnetBlock2D, Upsample2D
 from .svd_unet import SpatioTemporalResBlock
 
 
@@ -85,9 +85,8 @@ class Encoder(nn.Module):
                                    dtype=self.dtype,
                                    name=f"down_blocks_{i}")(x)
         x = UNetMidBlock2D(ch[-1], dtype=self.dtype, name="mid_block")(x)
-        x = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=self.dtype,
-                         name="conv_norm_out")(x)
-        x = nn.silu(x)
+        x = GroupNorm(num_groups=32, epsilon=1e-6, dtype=self.dtype,
+                         silu=True, name="conv_norm_out")(x)
         return nn.Conv(2 * self.latent_channels, (3, 3), padding=1,
                        dtype=self.dtype, name="conv_out")(x)
 
@@ -158,9 +157,8 @@ class TemporalDecoder(nn.Module):
                 c, num_layers=self.layers_per_block + 1,
                 add_upsample=i < len(rev) - 1, dtype=self.dtype,
                 name=f"up_blocks_{i}")(x, num_frames)
-        x = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=self.dtype,
-                         name="conv_norm_out")(x)
-        x = nn.silu(x)
+        x = GroupNorm(num_groups=32, epsilon=1e-6, dtype=self.dtype,
+                         silu=True, name="conv_norm_out")(x)
         x = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv_out")(x)
         # final temporal smoothing conv over frames
