@@ -292,6 +292,30 @@ class Attention(nn.Module):
         return out
 
 
+class _DenseParams(nn.Module):
+    """Declares kernel/bias with nn.Dense's default initializers at this
+    scope WITHOUT computing — lets FeedForward hand the raw weights to the
+    fused Pallas GEGLU kernel while keeping the param tree (and converted
+    checkpoints) identical to the nn.Dense composition."""
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (in_features, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        return k, b
+
+
+class _GEGLUParams(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        return _DenseParams(self.features, name="proj")(in_features)
+
+
 class GEGLU(nn.Module):
     inner_dim: int
     dtype: jnp.dtype = jnp.float32
@@ -304,18 +328,29 @@ class GEGLU(nn.Module):
 
 
 class FeedForward(nn.Module):
-    """GEGLU feed-forward (diffusers ``FeedForward`` with geglu)."""
+    """GEGLU feed-forward (diffusers ``FeedForward`` with geglu).
+
+    Routed through ``ops.pallas_ffn.geglu_ffn``: on TPU the C->8C
+    projection, gate, and 4C->C projection run as ONE row-tiled Pallas
+    kernel with both weight matrices resident in VMEM — XLA otherwise
+    materializes the 8C-wide GEGLU intermediate in HBM (3.5 GB at SVD's
+    320-channel level, ~7 GB of traffic per call). Param tree matches the
+    nn.Dense composition (net_0/proj + net_2) exactly."""
     dim_out: Optional[int] = None
     mult: int = 4
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        inner = x.shape[-1] * self.mult
-        x = GEGLU(inner, dtype=self.dtype, name="net_0")(x)
-        x = nn.Dense(self.dim_out or x.shape[-1] // 1, dtype=self.dtype,
-                     name="net_2")(x)
-        return x
+        from ..ops.pallas_ffn import geglu_ffn
+        c = x.shape[-1]
+        inner = c * self.mult
+        dim_out = self.dim_out or c
+        w1, b1 = _GEGLUParams(inner * 2, name="net_0")(c)
+        w2, b2 = _DenseParams(dim_out, name="net_2")(inner)
+        x2 = x.reshape(-1, c)
+        y = geglu_ffn(x2, w1, b1, w2, b2, self.dtype)
+        return y.reshape(x.shape[:-1] + (dim_out,))
 
 
 class ResnetBlock2D(nn.Module):

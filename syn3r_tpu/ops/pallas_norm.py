@@ -227,7 +227,7 @@ def layer_norm_pallas(x2: jnp.ndarray, scale: jnp.ndarray,
 # graph keeps canonical layouts, the jnp reference (whose channel-major
 # stats XLA compiles to the same speed in-graph) is the production route.
 
-USE_PALLAS = False
+USE_PALLAS = __import__("os").environ.get("SYN3R_PALLAS_NORMS", "0") == "1"
 
 
 def _on_tpu() -> bool:

@@ -294,3 +294,58 @@ def test_norm_modules_grad_path():
         pl_, x).sum())(xl)
     np.testing.assert_allclose(np.asarray(gl), np.asarray(refl),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_geglu_ffn_pallas_interpret_parity():
+    """The fused Pallas GEGLU FF must match the jnp reference (which is
+    the nn.Dense->split->gelu->nn.Dense composition) in interpret mode."""
+    from syn3r_tpu.ops.pallas_ffn import (geglu_ffn_pallas,
+                                          geglu_ffn_reference)
+
+    rng = jax.random.PRNGKey(0)
+    for r, c in [(512, 64), (256, 128)]:
+        i = c * 4
+        ks = jax.random.split(jax.random.PRNGKey(r), 5)
+        x = jax.random.normal(ks[0], (r, c), jnp.float32)
+        w1 = jax.random.normal(ks[1], (c, 2 * i)) * 0.05
+        b1 = jax.random.normal(ks[2], (2 * i,)) * 0.05
+        w2 = jax.random.normal(ks[3], (i, c)) * 0.05
+        b2 = jax.random.normal(ks[4], (c,)) * 0.05
+        want = geglu_ffn_reference(x, w1, b1, w2, b2, jnp.float32)
+        got = geglu_ffn_pallas(x, w1, b1, w2, b2, jnp.float32,
+                               interpret=True)
+        assert got is not None
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_feedforward_param_tree_and_grad():
+    """FeedForward's raw-param declaration must keep the nn.Dense param
+    tree (net_0/proj, net_2) and identical init values, and the routed FF
+    must stay differentiable."""
+    import flax.linen as nn
+    from syn3r_tpu.models.layers import FeedForward
+
+    rng = jax.random.PRNGKey(3)
+    x = jax.random.normal(rng, (2, 6, 32), jnp.float32)
+    ff = FeedForward(dim_out=32)
+    p = ff.init(rng, x)
+    paths = jax.tree_util.tree_flatten_with_path(p)[0]
+    names = {"/".join(str(k.key) for k in path) for path, _ in paths}
+    assert names == {"params/net_0/proj/kernel", "params/net_0/proj/bias",
+                     "params/net_2/kernel", "params/net_2/bias"}, names
+
+    # numerics equal the plain composition
+    def plain(p, x):
+        h = x @ p["params"]["net_0"]["proj"]["kernel"] \
+            + p["params"]["net_0"]["proj"]["bias"]
+        a, g = jnp.split(h, 2, axis=-1)
+        return (a * nn.gelu(g, approximate=False)) \
+            @ p["params"]["net_2"]["kernel"] + p["params"]["net_2"]["bias"]
+
+    np.testing.assert_allclose(np.asarray(ff.apply(p, x)),
+                               np.asarray(plain(p, x)), rtol=1e-6, atol=1e-6)
+    g1 = jax.grad(lambda x: ff.apply(p, x).sum())(x)
+    g2 = jax.grad(lambda x: plain(p, x).sum())(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-5, atol=1e-6)
