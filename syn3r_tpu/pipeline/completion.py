@@ -19,6 +19,7 @@ render function pose -> (rgb, depth) at the diffusion resolution.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, NamedTuple, Sequence
 
 import jax
@@ -111,19 +112,10 @@ def prepare_pair_conditioning(
         src_pose = poses[0] if use_left else poses[-1]
 
         rendered, rendered_depth = render_fn(poses[i])
-        wres = inverse_warp(src_img, src_depth, rendered_depth, src_pose,
-                            poses[i], K)
-
-        warped = wres.warped_img
-        hole = (warped.sum(-1, keepdims=True) <= 0).astype(jnp.float32)
-        inten_conf = intensity_confidence(warped, rendered, hole)
-        reproj_uncert = 1.0 - wres.soft_mask_reproj
-        conf = inten_conf * (1.0 - reproj_uncert[..., None])
-        uncert = 1.0 - conf                              # (H, W, 1)
-        mask_lat = downsample_mask_to_latent(uncert[..., 0], lh, lw)
-        cond = jnp.where(uncert > 0.5, rendered, warped)
-
-        conds.append(jnp.clip(cond, 0.0, 1.0))
+        cond, mask_lat = _frame_conditioning(src_img, src_depth, rendered,
+                                             rendered_depth, src_pose,
+                                             poses[i], K, lh, lw)
+        conds.append(cond)
         masks.append(mask_lat)
 
     cond_images = jnp.stack(conds)
@@ -132,6 +124,26 @@ def prepare_pair_conditioning(
     return PairConditioning(image_start=image_l, image_end=image_r,
                             cond_images=cond_images, masks=masks,
                             lambda_ts=lam)
+
+
+@functools.partial(jax.jit, static_argnames=("lh", "lw"))
+def _frame_conditioning(src_img, src_depth, rendered, rendered_depth,
+                        src_pose, pose, K, lh: int, lw: int):
+    """Warp + uncertainty fusion + latent mask for ONE interpolated frame,
+    as a single jit — eagerly this is dozens of full-resolution dispatches
+    per frame and dominated the densify phase (traced ~70 s/pair at
+    1024x576 before jitting; the math is unchanged)."""
+    wres = inverse_warp(src_img, src_depth, rendered_depth, src_pose,
+                        pose, K)
+    warped = wres.warped_img
+    hole = (warped.sum(-1, keepdims=True) <= 0).astype(jnp.float32)
+    inten_conf = intensity_confidence(warped, rendered, hole)
+    reproj_uncert = 1.0 - wres.soft_mask_reproj
+    conf = inten_conf * (1.0 - reproj_uncert[..., None])
+    uncert = 1.0 - conf                                  # (H, W, 1)
+    mask_lat = downsample_mask_to_latent(uncert[..., 0], lh, lw)
+    cond = jnp.where(uncert > 0.5, rendered, warped)
+    return jnp.clip(cond, 0.0, 1.0), mask_lat
 
 
 def covisibility_distance(pose_a: np.ndarray, pose_b: np.ndarray,
@@ -233,9 +245,21 @@ def perturb_and_select_poses(
             nn = int(np.linalg.norm(ref_pts - cand[:3, 3], axis=1).argmin())
             ref_img, ref_depth = ref_renders[nn]
             _, cand_depth = render_fn(jnp.asarray(cand))
-            wres = inverse_warp(ref_img, ref_depth, cand_depth,
-                                jnp.asarray(ref_poses[nn]),
-                                jnp.asarray(cand), K)
-            scores.append(float((1.0 - wres.soft_mask_reproj).mean()))
-        out.append(candidates[int(np.argmax(scores))])
+            scores.append(_warp_uncertainty(ref_img, ref_depth, cand_depth,
+                                            jnp.asarray(ref_poses[nn]),
+                                            jnp.asarray(cand), K))
+        # one host transfer for all candidates (a float() per candidate
+        # serialized the device against the host pose loop)
+        out.append(candidates[int(np.argmax(np.asarray(scores)))])
     return np.stack(out)
+
+
+@jax.jit
+def _warp_uncertainty(ref_img, ref_depth, cand_depth, ref_pose, cand_pose,
+                      K):
+    """Mean backward-warp reprojection uncertainty of one candidate pose —
+    jitted for the same reason as _frame_conditioning (eager inverse_warp
+    per candidate made pose perturbation minutes per pair)."""
+    wres = inverse_warp(ref_img, ref_depth, cand_depth, ref_pose,
+                        cand_pose, K)
+    return (1.0 - wres.soft_mask_reproj).mean()

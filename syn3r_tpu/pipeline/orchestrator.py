@@ -273,9 +273,11 @@ class DiffusionGS:
                                        tr.train_views.cameras).K)
         depths = None
         if cfg.capture_pseudo_depth and tr.cfg.svd_depth_warmup > 0:
-            depths = np.stack([
-                np.asarray(self.render_gs_res(jnp.asarray(q))[1])
-                for q in flat_poses])
+            # collect device arrays and transfer once — a np.asarray per
+            # pose serializes the device against the host loop
+            depths = np.asarray(jnp.stack([
+                self.render_gs_res(jnp.asarray(q))[1]
+                for q in flat_poses]))
         tr.update_cameras(flat_frames, flat_poses, K_gs,
                           cam_confidences=cfg.cam_confidence, append=False,
                           depths=depths)
