@@ -48,6 +48,7 @@ PRESETS = {
               "2PassProbUncertainPost", "--cam_confidence", "0.2",
               "--rand_pcd", "--images", "images_4",
               "--num_views_for_pcd_densification", "4",
+              "--fps_keyframe_sampling", "1",
               "--refine_cycle_num", "2"],
 }
 

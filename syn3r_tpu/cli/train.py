@@ -32,7 +32,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="pair topology: gs_v2 = N wrap-around pairs "
                         "(LLFF/DL3DV), loop0_gs = N-1 pairs (DTU) — "
                         "reference diffusionGS.py:227,244-250")
-    p.add_argument("--interp_type", default="backward_warp")
+    p.add_argument("--interp_type", default="backward_warp",
+                   choices=["backward_warp", "forward_warp"],
+                   help="conditioning warp (reference diffusionGS.py:"
+                        "506-509): backward_warp = uncertainty-fused "
+                        "(every shipped config); forward_warp = endpoint "
+                        "splatting with binary masks")
     p.add_argument("--refine_cycle_num", type=int, default=2)
     p.add_argument("--refine_epoch", type=int, default=1)
     p.add_argument("--cam_confidence", type=float, default=0.05)
@@ -45,6 +50,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "clamp is hard-coded 0.4 in the scheduler)")
     p.add_argument("--pseudo_cam_sampling_rate", type=float, default=0.02)
     p.add_argument("--num_views_for_pcd_densification", type=int, default=4)
+    p.add_argument("--fps_keyframe_sampling", type=int, default=0,
+                   help="if > 0, FPS (covisibility metric) keyframe "
+                        "selection for pcd densification instead of "
+                        "linspace (the DL3DV preset)")
+    p.add_argument("--reorg_train_views", type=int, default=1,
+                   help="TSP-order the train views (reference "
+                        "diffusionGS.py:62-66); every shipped config "
+                        "leaves this on")
     p.add_argument("--num_inference_steps", type=int, default=100)
     p.add_argument("--diffusion_width", type=int, default=1024)
     p.add_argument("--diffusion_height", type=int, default=576)
@@ -67,6 +80,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--percent_dense", type=float, default=0.01)
     p.add_argument("--sample_svd_pseudo_interval", type=int, default=2)
     p.add_argument("--start_sample_svd_frame", type=int, default=2000)
+    p.add_argument("--sample_pseudo_interval", type=int, default=10 ** 20,
+                   help="FSGS monocular-depth pseudo-view interval (1e20 = "
+                        "off, the value every reference config passes — "
+                        "bash_scripts/batch_llff_train.sh:39); needs a "
+                        "depth estimator via GSTrainer.set_mono_depth_fn")
+    p.add_argument("--start_sample_pseudo", type=int, default=2000)
     p.add_argument("--svd_depth_warmup", type=int, default=0,
                    help="when > 0, add Pearson depth supervision on SVD "
                         "pseudo views (reconstructed FSGS-fork semantics)")
@@ -88,6 +107,17 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+
+    # Honor JAX_PLATFORMS explicitly: on this jax build the env var is NOT
+    # applied when a platform plugin (the axon TPU) is registered, so
+    # subprocess workers (batch --parallel, tests) that export
+    # JAX_PLATFORMS=cpu would still grab the TPU tunnel — and two
+    # concurrent clients of the single-chip tunnel deadlock in the remote
+    # compile queue (observed: both fleet workers stuck in a socket wait).
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
 
     import jax.numpy as jnp
 
@@ -115,6 +145,8 @@ def main(argv=None):
         percent_dense=args.percent_dense,
         sample_svd_pseudo_interval=args.sample_svd_pseudo_interval,
         start_sample_svd_iter=args.start_sample_svd_frame,
+        sample_pseudo_interval=args.sample_pseudo_interval,
+        start_sample_pseudo=args.start_sample_pseudo,
         pseudo_cam_sampling_rate=args.pseudo_cam_sampling_rate,
         svd_depth_warmup=args.svd_depth_warmup,
         lpips_weight=args.lpips_weight,
@@ -150,10 +182,13 @@ def main(argv=None):
         refine_epoch=args.refine_epoch,
         cam_confidence=args.cam_confidence,
         densify_type=args.densify_type,
+        interp_type=args.interp_type,
         disable_densification=args.disable_densification,
         pseudo_cam_sampling_rate=args.pseudo_cam_sampling_rate,
         use_lpips_loss=bool(args.lpips_weights),
         num_views_for_pcd_densification=args.num_views_for_pcd_densification,
+        fps_keyframe_sampling=bool(args.fps_keyframe_sampling),
+        reorg_train_views=bool(args.reorg_train_views),
         seed=args.seed)
     runner = DiffusionGS(trainer, dcfg, completion_fn=completion_fn,
                          dust3r_fn=dust3r_fn, flow_fn=flow_fn)

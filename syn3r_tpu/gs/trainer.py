@@ -75,6 +75,22 @@ class TrainConfig:
     min_opacity: float = 0.005
     max_world_scale: Optional[float] = 0.1
     capacity_growth_occupancy: float = 0.85
+    # FSGS's MONOCULAR-depth pseudo-view regularization (upstream FSGS's
+    # --sample_pseudo_interval / --start_sample_pseudo; visible at
+    # reference bash_scripts/batch_llff_train.sh:39, which passes 1e20 =
+    # DISABLED in every shipped config — implemented for trainer-surface
+    # parity): every ``sample_pseudo_interval`` iterations after
+    # ``start_sample_pseudo``, a virtual camera interpolated between
+    # adjacent train cameras is rendered and a Pearson-correlation loss
+    # between the rendered depth and a monocular depth estimate of the
+    # rendered image is applied. The estimator is pluggable
+    # (``set_mono_depth_fn`` — upstream uses a frozen DPT; no pretrained
+    # weights in this environment), so the feature is inert until one is
+    # installed AND the interval is finite.
+    sample_pseudo_interval: int = 10 ** 20
+    start_sample_pseudo: int = 2_000
+    mono_depth_weight: float = 0.05
+    mono_pseudo_per_pair: int = 10
     # pseudo (SVD) view sampling — the fork's sample_svd_pseudo_interval /
     # start_sample_svd_frame / pseudo_cam_sampling_rate flags
     # (batch_llff_train.sh:39). Reconstructed semantics (submodule absent):
@@ -222,6 +238,9 @@ class GSTrainer:
         # refine phase (reference model/diffusionGS.py:1690,1697).
         self.use_lpips_loss = False
         self._lpips_params: Optional[dict] = None
+        # monocular-depth pseudo-view regularization (see TrainConfig)
+        self._mono_depth_fn: Optional[callable] = None
+        self._mono_pseudo_cams: Optional[Camera] = None
         self.model_path = model_path
         os.makedirs(model_path, exist_ok=True)
         self.extent = max(scene_extent(train_views.cameras), 1e-6)
@@ -347,6 +366,92 @@ class GSTrainer:
             return ts, metrics["loss"]
 
         return jax.lax.scan(body, ts, (idx_k, flags_k))
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _mono_pseudo_step(self, ts: TrainState, camera: Camera,
+                          est_depth: jnp.ndarray) -> tuple[TrainState, dict]:
+        """One monocular pseudo-view regularization step (FSGS's
+        sample_pseudo_interval path, reconstructed — submodule absent):
+        Pearson depth loss between the render at a virtual camera and a
+        monocular estimate of that render. Updates params/Adam only (no
+        densify statistics — the pseudo view has no photometric target)."""
+        cfg = self.cfg
+        g = ts.gaussians
+        params = G.get_params(g)
+        bg = jnp.asarray(cfg.bg_color, jnp.float32)
+
+        def loss_fn(p):
+            st = G.with_params(g, p)
+            sg = rz.project_gaussians(st, camera, sh_degree=cfg.sh_degree)
+            if cfg.rasterizer in ("tiled", "pallas"):
+                out = rz.rasterize_tiled(
+                    sg, camera.height, camera.width, cap=cfg.tile_cap,
+                    bg=bg, chunk=min(cfg.chunk, cfg.tile_cap),
+                    composite="pallas" if cfg.rasterizer == "pallas"
+                    else "xla")
+            else:
+                out = rz.rasterize(sg, camera.height, camera.width, bg=bg,
+                                   chunk=cfg.chunk, group=cfg.group)
+            pred_depth = jnp.where(out.alpha > 1e-6,
+                                   out.depth / jnp.maximum(out.alpha, 1e-6),
+                                   0.0)
+            dl = losses.pearson_depth_loss(pred_depth, est_depth,
+                                           valid=est_depth > 0)
+            return cfg.mono_depth_weight * dl
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        lr_pos = _position_lr(cfg, self.extent, ts.step)
+        lrs = {"means": lr_pos, "quats": cfg.rotation_lr,
+               "log_scales": cfg.scaling_lr, "opacity_logits": cfg.opacity_lr,
+               "sh_dc": cfg.feature_lr, "sh_rest": cfg.feature_lr / 20.0}
+        new_params, new_adam = adam_update(params, grads, ts.adam, lrs)
+        new_ts = TrainState(gaussians=G.with_params(g, new_params),
+                            adam=new_adam, stats=ts.stats, step=ts.step,
+                            key=ts.key)
+        return new_ts, {"loss": loss}
+
+    def set_mono_depth_fn(self, fn):
+        """Install the monocular depth estimator rgb (H, W, 3) ->
+        depth (H, W) used by the sample_pseudo_interval path (upstream
+        FSGS uses a frozen DPT)."""
+        self._mono_depth_fn = fn
+        self._mono_pseudo_cams = None
+
+    def _get_mono_pseudo_cams(self) -> Camera:
+        """Virtual cameras interpolated between TSP-adjacent train cameras
+        (FSGS's getPseudoCameras equivalent), built once."""
+        if self._mono_pseudo_cams is None:
+            from ..utils import se3
+            from ..utils.camera import make_camera, stack_cameras
+            order = order_cameras_tsp(self.train_views.cameras)
+            cams = []
+            for a, b in zip(order[:-1], order[1:]):
+                ca = jax.tree.map(lambda x: x[a], self.train_views.cameras)
+                cb = jax.tree.map(lambda x: x[b], self.train_views.cameras)
+                poses = se3.interpolate_poses(
+                    ca.w2c, cb.w2c, self.cfg.mono_pseudo_per_pair + 2)
+                for p in np.asarray(poses)[1:-1]:
+                    cams.append(make_camera(np.asarray(ca.K), p,
+                                            ca.width, ca.height))
+            self._mono_pseudo_cams = stack_cameras(cams)
+        return self._mono_pseudo_cams
+
+    def _maybe_mono_pseudo(self, it: int):
+        """Run the mono-depth pseudo step when due (gated: finite interval
+        AND an installed estimator)."""
+        cfg = self.cfg
+        if (self._mono_depth_fn is None
+                or cfg.sample_pseudo_interval >= 10 ** 9
+                or cfg.sample_pseudo_interval <= 0
+                or it < cfg.start_sample_pseudo
+                or it % cfg.sample_pseudo_interval):
+            return
+        pcams = self._get_mono_pseudo_cams()
+        i = int(self._rng.integers(pcams.K.shape[0]))
+        cam = jax.tree.map(lambda x: x[i], pcams)
+        rgb = self._render_jit(self.state.gaussians, cam).rgb
+        est = jax.lax.stop_gradient(self._mono_depth_fn(rgb))
+        self.state, _ = self._mono_pseudo_step(self.state, cam, est)
 
     @functools.partial(jax.jit, static_argnames=("self",))
     def _densify_step(self, ts: TrainState) -> TrainState:
@@ -477,6 +582,9 @@ class GSTrainer:
                           cfg.opacity_reset_interval]
         if log_every:
             intervals.append(log_every)
+        if (self._mono_depth_fn is not None
+                and 0 < cfg.sample_pseudo_interval < 10 ** 9):
+            intervals.append(cfg.sample_pseudo_interval)
         for iv in intervals:
             if iv and iv > 0:
                 nxt = min(nxt, ((it // iv) + 1) * iv)
@@ -531,6 +639,7 @@ class GSTrainer:
                     self._maybe_grow()
                 if (last + 1) % cfg.opacity_reset_interval == 0:
                     self.state = self._reset_opacity_step(self.state)
+            self._maybe_mono_pseudo(last + 1)
             if log_every and (last + 1) % log_every == 0:
                 last_loss = float(loss_dev)
                 print(f"[gs] iter {last + 1} loss {last_loss:.4f} "

@@ -26,7 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.warp import downsample_mask_to_latent, inverse_warp
+from ..ops.warp import (dilate_mask, downsample_mask_to_latent, forward_warp,
+                        inverse_warp)
 from ..utils import se3
 
 
@@ -87,7 +88,8 @@ def prepare_pair_conditioning(
         image_l: jnp.ndarray, depth_l: jnp.ndarray,
         image_r: jnp.ndarray, depth_r: jnp.ndarray,
         num_steps: int = 100,
-        latent_downsample: int = 8) -> PairConditioning:
+        latent_downsample: int = 8,
+        warp_mode: str = "backward_warp") -> PairConditioning:
     """Build SVD conditioning for one endpoint pair.
 
     render_fn(pose 4x4 w2c) -> (rgb (H, W, 3), depth (H, W)) — the GS render
@@ -95,10 +97,16 @@ def prepare_pair_conditioning(
     (endpoints included). Source endpoint for warping: left for interior
     index < 12, right otherwise (reference :1416-1424).
 
-    The uncertainty-fused conditioning below is the reference's single live
-    path (``_interpolate_between_gs_v3`` serves every shipped densify_type —
-    LLFF, DTU and DL3DV alike, diffusionGS.py:244-250,821-862); the pipeline
-    variants differ only in the scheduler update, not the conditioning.
+    warp_mode='backward_warp' (every shipped reference config) is the
+    uncertainty-fused conditioning of ``_interpolate_between_gs_v3``
+    (diffusionGS.py:244-250,821-862); the pipeline variants differ only in
+    the scheduler update, not the conditioning. 'forward_warp' selects the
+    reference's splatting variant (``warp_images``, :1512-1605): cond frames
+    are the endpoint forward-splatted to each pose with dilated holes zeroed
+    and BINARY latent masks — no GS render or uncertainty fusion. (In the
+    reference, forward_warp combined with the live Prob pipelines crashes —
+    the Prob branch reads ``aux`` that only the backward branch defines,
+    :815-833; here it is a working, documented generalization.)
     """
     f = poses.shape[0]
     h, w = image_l.shape[:2]
@@ -111,10 +119,18 @@ def prepare_pair_conditioning(
         src_depth = depth_l if use_left else depth_r
         src_pose = poses[0] if use_left else poses[-1]
 
-        rendered, rendered_depth = render_fn(poses[i])
-        cond, mask_lat = _frame_conditioning(src_img, src_depth, rendered,
-                                             rendered_depth, src_pose,
-                                             poses[i], K, lh, lw)
+        if warp_mode == "forward_warp":
+            cond, mask_lat = _frame_conditioning_fw(src_img, src_depth,
+                                                    src_pose, poses[i], K,
+                                                    lh, lw)
+        elif warp_mode == "backward_warp":
+            rendered, rendered_depth = render_fn(poses[i])
+            cond, mask_lat = _frame_conditioning(src_img, src_depth,
+                                                 rendered, rendered_depth,
+                                                 src_pose, poses[i], K,
+                                                 lh, lw)
+        else:
+            raise ValueError(warp_mode)
         conds.append(cond)
         masks.append(mask_lat)
 
@@ -143,6 +159,24 @@ def _frame_conditioning(src_img, src_depth, rendered, rendered_depth,
     uncert = 1.0 - conf                                  # (H, W, 1)
     mask_lat = downsample_mask_to_latent(uncert[..., 0], lh, lw)
     cond = jnp.where(uncert > 0.5, rendered, warped)
+    return jnp.clip(cond, 0.0, 1.0), mask_lat
+
+
+@functools.partial(jax.jit, static_argnames=("lh", "lw"))
+def _frame_conditioning_fw(src_img, src_depth, src_pose, pose, K,
+                           lh: int, lw: int):
+    """Forward-splat conditioning for ONE frame — the reference's
+    ``warp_images`` semantics (diffusionGS.py:1554-1597): z-weighted splat
+    of the source endpoint to the target pose; hole mask = 1 - splat
+    validity, 5x5-dilated; cond = splat with dilated holes zeroed; latent
+    mask = 8x8 block mean of the dilated hole mask binarized at 0.2. (The
+    reference also round-trips the cond frame through uint8 — a save/load
+    artifact, not replicated.) Needs no GS render of the target pose."""
+    warped, valid, _ = forward_warp(src_img, src_depth, src_pose, pose, K)
+    hole = dilate_mask(~valid, 5)
+    cond = warped * (1.0 - hole.astype(warped.dtype))[..., None]
+    mask_lat = downsample_mask_to_latent(hole, lh, lw)
+    mask_lat = (mask_lat >= 0.2).astype(jnp.float32)
     return jnp.clip(cond, 0.0, 1.0), mask_lat
 
 

@@ -52,6 +52,11 @@ class DiffusionGSConfig:
     # INCLUDING the wrap-around (last -> first); 'interpolate_loop0_gs'
     # (DTU) breaks before the wrap, giving N-1 pairs.
     densify_type: str = "interpolate_gs_v2"
+    # conditioning warp variant (reference --interp_type, diffusionGS.py:
+    # 506-509,812-815): 'backward_warp' (every shipped config) or
+    # 'forward_warp' (endpoint splatting, binary masks — see
+    # completion.prepare_pair_conditioning)
+    interp_type: str = "backward_warp"
     # LPIPS loss is toggled ON for the refine phase only (reference
     # diffusionGS.py:1690,1697); needs GSTrainer.set_lpips() weights.
     use_lpips_loss: bool = False
@@ -62,6 +67,15 @@ class DiffusionGSConfig:
     # LLFF setting — reference diffusionGS.py:302, batch_llff_train.sh:39)
     num_views_for_pcd_densification: int = 1
     pcd_frame_quality_thresh: float = 0.3
+    # keyframe selection for pcd densification, PER PAIR (reference
+    # :274-284): evenly spaced linspace by default; FPS over the
+    # covisibility metric when fps_keyframe_sampling (the DL3DV preset,
+    # batch_dl3dv_train.sh:87). Each pair's last frame is dropped (:281
+    # — it duplicates the next pair's first).
+    fps_keyframe_sampling: bool = False
+    # TSP-order the train views ("SalesMan", reference :62-66); every
+    # shipped config leaves this on.
+    reorg_train_views: bool = True
     seed: int = 0
 
 
@@ -125,6 +139,8 @@ class DiffusionGS:
         return out["render"], out["depth"]
 
     def _ordered_train_indices(self) -> list[int]:
+        if not self.cfg.reorg_train_views:
+            return list(range(self.trainer.train_views.images.shape[0]))
         from ..gs.trainer import order_cameras_tsp
         return order_cameras_tsp(self.trainer.train_views.cameras)
 
@@ -174,7 +190,8 @@ class DiffusionGS:
             cond = C.prepare_pair_conditioning(
                 self.render_diffusion_res, self.diffusion_K, poses_j,
                 img_l, depth_l, img_r, depth_r,
-                num_steps=cfg.num_inference_steps)
+                num_steps=cfg.num_inference_steps,
+                warp_mode=cfg.interp_type)
 
             key = jax.random.PRNGKey(cfg.seed + 1000 * cycle + pi)
             frames = self.completion_fn(cond.image_start, cond.cond_images,
@@ -203,11 +220,31 @@ class DiffusionGS:
         cfg = self.cfg
         if cfg.num_views_for_pcd_densification <= 1 or self.dust3r_fn is None:
             return None
+        p, f = frames.shape[:2]
+
+        # keyframe selection PER PAIR (reference :274-284): FPS over the
+        # covisibility metric when fps_keyframe_sampling (DL3DV preset),
+        # evenly spaced linspace otherwise; sorted, last selected index
+        # dropped (:281 — each pair's final frame duplicates the next
+        # pair's first).
+        key_idx = []
+        for pi in range(p):
+            if cfg.fps_keyframe_sampling:
+                loc = sorted(C.fps_keyframes(
+                    np.asarray(poses[pi]),
+                    cfg.num_views_for_pcd_densification))
+            else:
+                loc = list(np.linspace(
+                    0, f - 1, cfg.num_views_for_pcd_densification,
+                    dtype=int))
+            key_idx.extend(pi * f + int(i) for i in loc[:-1])
         flat_frames = np.asarray(frames).reshape(-1, *frames.shape[2:])
         flat_poses = np.asarray(poses).reshape(-1, 4, 4)
+        flat_frames = flat_frames[key_idx]
+        flat_poses = flat_poses[key_idx]
 
-        # frame-quality gate: GMFlow fwd-bwd consistency vs the GS render
-        # (reference :377-385); skipped without a flow_fn
+        # frame-quality gate on the key frames: GMFlow fwd-bwd consistency
+        # vs the GS render (reference :374-385); skipped without a flow_fn
         if self.flow_fn is not None:
             from ..vision.gmflow import correspondence_mask
             keep = []
@@ -221,10 +258,8 @@ class DiffusionGS:
                 flat_frames = flat_frames[keep]
                 flat_poses = flat_poses[keep]
 
-        key_idx = C.fps_keyframes(flat_poses,
-                                  cfg.num_views_for_pcd_densification)
         from ..utils.se3 import se3_inverse
-        c2w = np.asarray(se3_inverse(jnp.asarray(flat_poses[key_idx])))
+        c2w = np.asarray(se3_inverse(jnp.asarray(flat_poses)))
         K_gs = np.asarray(jax.tree.map(lambda x: x[0],
                                        self.trainer.train_views.cameras).K)
         # DUSt3R input convention: width-512 frames with intrinsics scaled
@@ -236,7 +271,7 @@ class DiffusionGS:
         K512[:2] *= scale
         frames512 = jax.vmap(
             lambda f: resize_bilinear(f, h512, 512, antialias=True))(
-                jnp.asarray(flat_frames[key_idx]))
+                jnp.asarray(flat_frames))
         xyz, rgb = self.dust3r_fn(frames512, c2w, K512)
         from ..cli.generate_pcd import remove_statistical_outliers
         xyz, rgb = remove_statistical_outliers(np.asarray(xyz),

@@ -12,8 +12,8 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 # Persistent compilation cache: this box has ONE cpu core, so XLA compiles
-# dominate test time — cache everything, no matter how small. The env vars
-# are not honored on this jax version; set via config (after env above).
+# dominate test time. The env vars are not honored on this jax version;
+# set via config (after env above).
 import jax  # noqa: E402
 
 # The env var JAX_PLATFORMS is ignored on this jax build (the axon TPU
@@ -24,5 +24,12 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 # precision; golden-parity tests need exact f32. Production TPU compute
 # uses explicit bf16 dtypes, which this setting does not affect.
 jax.config.update("jax_default_matmul_precision", "highest")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+# Cache only non-trivial compiles (>= 1 s). Caching EVERYTHING (the
+# previous min_compile_time=0 setting) made the suite deserialize
+# thousands of sub-millisecond executables, and XLA:CPU's
+# deserialize_executable segfaults nondeterministically late in a long
+# suite run (reproduced twice at ~test 120, jax 0.9.0, stack through
+# compilation_cache.get_executable_and_time). Trivial compiles are cheap
+# to redo; the cache exists for the multi-minute UNet/VAE ones.
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -340,3 +340,44 @@ def test_segment_scan_matches_per_step(tmp_path):
     b = np.asarray(tr_step.gaussians.means)
     np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
     assert int(tr_scan.state.step) == int(tr_step.state.step) == 24
+
+
+def test_mono_depth_pseudo_regularization(tmp_path):
+    """FSGS's sample_pseudo_interval path (off in every shipped reference
+    config; reconstructed for trainer-surface parity): with an installed
+    mono-depth estimator and a finite interval, virtual-camera depth
+    regularization steps run at the configured cadence, improve depth
+    agreement, and stay inert without an estimator."""
+    gt, cams, imgs = _toy_scene(n_views=3)
+    views = make_viewset(cams, imgs)
+    rng = np.random.default_rng(2)
+    xyz = np.asarray(gt.means[np.asarray(gt.active)]) \
+        + rng.normal(0, 0.05, (int(gt.num_active), 3)).astype(np.float32)
+    init = G.from_points(jnp.asarray(xyz),
+                         jnp.asarray(np.full_like(xyz, 0.5)), capacity=64)
+    cfg = TrainConfig(iterations=30, chunk=8, group=1,
+                      densify_from_iter=10 ** 9,
+                      sample_pseudo_interval=5, start_sample_pseudo=10,
+                      mono_pseudo_per_pair=3, mono_depth_weight=0.1)
+    tr = GSTrainer(views, cfg, init, model_path=str(tmp_path))
+
+    calls = []
+
+    def fake_estimator(rgb):
+        # a stand-in "monocular" estimate: constant mid-scene depth
+        calls.append(1)
+        return jnp.full(rgb.shape[:2], 2.2, jnp.float32)
+
+    # inert without an estimator
+    tr._maybe_mono_pseudo(20)
+    assert int(tr.state.step) == 0
+
+    tr.set_mono_depth_fn(fake_estimator)
+    means_before = np.asarray(tr.state.gaussians.means).copy()
+    tr.training(log_every=0)
+    # due iterations: 10, 15, 20, 25, 30 -> 5 estimator calls
+    assert len(calls) == 5, len(calls)
+    assert np.isfinite(np.asarray(tr.state.gaussians.means)).all()
+    # pseudo cams synthesized between the 3 train cams (2 pairs x 3)
+    assert tr._get_mono_pseudo_cams().K.shape[0] == 6
+    assert not np.allclose(means_before, np.asarray(tr.state.gaussians.means))

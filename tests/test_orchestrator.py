@@ -79,6 +79,49 @@ def test_prepare_pair_conditioning_shapes():
     assert (0 <= m).all() and (m <= 1).all()
 
 
+def test_prepare_pair_conditioning_forward_warp():
+    """interp_type='forward_warp' (reference warp_images, diffusionGS.py:
+    1512-1605): endpoint splatting, BINARY latent masks, no GS render of
+    the target poses (render_fn must not be called)."""
+    cams, imgs, xyz = _scene()
+    gt = G.from_points(jnp.asarray(xyz),
+                       jnp.asarray(np.full_like(xyz, 0.5)), capacity=128)
+
+    def render_fn(pose):
+        from syn3r_tpu.utils.camera import make_camera
+        cam = make_camera(np.asarray(cams[0].K), pose, 64, 48)
+        out = render(gt, cam, chunk=64, group=1)
+        alpha = out.alpha
+        depth = jnp.where(alpha > 1e-6, out.depth / jnp.maximum(alpha, 1e-6),
+                          0.0)
+        return out.rgb, depth
+
+    def forbidden_render_fn(pose):
+        raise AssertionError("forward_warp must not render target poses")
+
+    poses = C.interpolate_pair_poses(np.asarray(cams[0].w2c),
+                                     np.asarray(cams[1].w2c), 9)
+    img_l, depth_l = render_fn(jnp.asarray(poses[0]))
+    img_r, depth_r = render_fn(jnp.asarray(poses[-1]))
+    cond = C.prepare_pair_conditioning(forbidden_render_fn, cams[0].K,
+                                       jnp.asarray(poses), img_l, depth_l,
+                                       img_r, depth_r, num_steps=10,
+                                       latent_downsample=8,
+                                       warp_mode="forward_warp")
+    assert cond.cond_images.shape == (7, 48, 64, 3)
+    assert cond.masks.shape == (7, 6, 8)
+    assert cond.lambda_ts.shape == (10, 9)
+    assert np.isfinite(np.asarray(cond.cond_images)).all()
+    m = np.asarray(cond.masks)
+    assert set(np.unique(m)).issubset({0.0, 1.0})    # binary (:1595-1596)
+    # near-endpoint frames splat from a close pose -> mostly covered
+    assert m[0].mean() < 0.8
+    # cond frames are the splat with dilated holes zeroed
+    c = np.asarray(cond.cond_images)
+    assert (0 <= c).all() and (c <= 1).all()
+    assert (c.sum(-1) > 0).mean() > 0.2
+
+
 def test_full_refine_cycle(tmp_path):
     cams, imgs, xyz = _scene()
     views = make_viewset(cams, imgs)
@@ -162,7 +205,9 @@ def test_pcd_densification_branch(tmp_path):
     runner = DiffusionGS(tr, dcfg, save_dir=str(tmp_path / "dense"),
                          dust3r_fn=fake_dust3r)
     runner.run(refine_cycles=1)
-    assert calls["frames"].shape[0] == 2          # FPS picked 2 keyframes
+    # per-pair keyframes (reference :274-284): linspace(0, F-1, 2)=[0, 2]
+    # minus each pair's last selected index -> 1 keyframe x 3 wrap pairs
+    assert calls["frames"].shape[0] == 3
     assert (tmp_path / "dense" / "dense_views_cyc0.ply").exists()
     # gaussians were reset from the (fake) pcd: <=50 active
     assert int(tr.gaussians.num_active) <= 50
