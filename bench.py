@@ -26,7 +26,36 @@ remote-runtime dispatch queue cannot fake the numbers.
 """
 
 import json
+import os
+import resource
+import subprocess
+import sys
 import time
+
+# XLA's compile passes recurse deeply on the fused 100-step graphs below;
+# the default 8 MB main-thread stack intermittently SIGSEGVs (see
+# tests/conftest.py). Linux grows the stack up to RLIMIT_STACK on fault.
+_soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+if _soft != resource.RLIM_INFINITY and _soft < 512 * 1024 * 1024:
+    resource.setrlimit(resource.RLIMIT_STACK, (512 * 1024 * 1024, _hard))
+
+
+def _probe_backend(timeout_s=180):
+    """Check that the default JAX backend actually initializes, in a
+    SUBPROCESS with a hard timeout. When the axon TPU tunnel is down,
+    `jax.devices()` blocks forever inside backend init — probing in-process
+    would wedge the whole bench (and the driver's end-of-round run with it).
+    Returns (ok, detail)."""
+    code = "import jax; d = jax.devices(); print(d[0].platform, len(d))"
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return False, f"backend init exceeded {timeout_s}s (tunnel down?)"
+    if r.returncode != 0:
+        lines = (r.stderr or "").strip().splitlines()
+        return False, lines[-1] if lines else "init failed"
+    return True, r.stdout.strip()
 
 
 def _drain(x):
@@ -255,10 +284,31 @@ def bench_gs_step():
 
 
 def main():
+    # Refuse to start against a dead backend: probe (with retries — the
+    # tunnel flaps) before importing jax in THIS process. Emitting an
+    # explicit error line beats hanging the driver's end-of-round bench.
+    if os.environ.get("SYN3R_BENCH_SKIP_PROBE") != "1":
+        ok, detail = False, ""
+        for attempt in range(3):
+            ok, detail = _probe_backend()
+            if ok:
+                break
+            time.sleep(60 if attempt < 2 else 0)
+        if not ok:
+            print(json.dumps({
+                "metric": "guided_denoise_steps_per_sec",
+                "value": 0.0,
+                "unit": "steps/s (both directions)",
+                "vs_baseline": None,
+                "extra": {"error": f"TPU backend unavailable: {detail}; "
+                                   "bench not run (no fake CPU numbers)"},
+            }))
+            return
     import jax
     # persistent compile cache (first full-config compile is minutes on
     # this single-core host, milliseconds after)
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    from syn3r_tpu.utils.compile_cache import configure as _cc
+    _cc(jax)  # host-feature-keyed dir: foreign AOT cache entries SIGILL
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     dt_guided, dt_fwd, mfu, _, _ = bench_guided_denoise()
     pair_s, enc_s, dec_s = bench_completion_pair(dt_guided)

@@ -60,7 +60,8 @@ def main():
     args = ap.parse_args()
 
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    from syn3r_tpu.utils.compile_cache import configure as _cc
+    _cc(jax)  # host-feature-keyed: foreign AOT cache entries SIGILL
 
     step, ts = build_step(args.cap)
     # warmup / compile

@@ -1,0 +1,42 @@
+#!/bin/bash
+# On-chip validation battery for when the axon tunnel comes back.
+# Polls backend init; once it succeeds, runs the verify drive, the round
+# bench, and the GS-step profile, logging everything to /tmp/tpu_battery.log.
+set -u
+LOG=/tmp/tpu_battery.log
+cd /root/repo
+
+probe() {
+    timeout 240 python - <<'EOF' >/dev/null 2>&1
+import jax
+jax.devices()
+EOF
+}
+
+echo "[battery] start $(date -u)" >> "$LOG"
+for i in $(seq 1 200); do
+    if probe; then
+        echo "[battery] tunnel UP at $(date -u) (attempt $i)" >> "$LOG"
+        break
+    fi
+    echo "[battery] attempt $i down $(date -u)" >> "$LOG"
+    sleep 240
+done
+if ! probe; then
+    echo "[battery] gave up $(date -u)" >> "$LOG"
+    exit 1
+fi
+
+echo "[battery] === verify drive ===" >> "$LOG"
+timeout 3600 python .claude/skills/verify/drive.py >> "$LOG" 2>&1
+echo "[battery] drive exit: $?" >> "$LOG"
+
+echo "[battery] === bench ===" >> "$LOG"
+timeout 5400 python bench.py > /tmp/bench_r3.json 2>> "$LOG"
+echo "[battery] bench exit: $?" >> "$LOG"
+cat /tmp/bench_r3.json >> "$LOG"
+
+echo "[battery] === gs profile ===" >> "$LOG"
+timeout 1800 python scripts/profile_gs_step.py >> "$LOG" 2>&1
+echo "[battery] profile exit: $?" >> "$LOG"
+echo "[battery] done $(date -u)" >> "$LOG"

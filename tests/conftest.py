@@ -4,6 +4,20 @@ This is the standard JAX fake-backend trick: multi-chip sharding logic is
 validated without TPU hardware (SURVEY.md §4). Must run before jax imports.
 """
 import os
+import resource
+
+# XLA:CPU's compile passes (and cache deserialization) recurse deeply on
+# large fused graphs (the 100-step denoise loop); with the default 8 MB
+# main-thread stack this intermittently SIGSEGVs mid-suite (reproduced at
+# tests/test_pipeline_golden.py inside backend_compile_and_load). Linux
+# grows the main-thread stack up to RLIMIT_STACK at fault time, so raising
+# the soft limit here — before any deep compile — is a real fix, not a
+# band-aid.
+_soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+_want = 512 * 1024 * 1024
+if _soft != resource.RLIM_INFINITY and _soft < _want:
+    new = _hard if _hard != resource.RLIM_INFINITY else _want
+    resource.setrlimit(resource.RLIMIT_STACK, (min(_want, new), _hard))
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
@@ -19,7 +33,11 @@ import jax  # noqa: E402
 # The env var JAX_PLATFORMS is ignored on this jax build (the axon TPU
 # plugin wins); the config update is authoritative.
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+# Cache dir is keyed by host CPU features: executing another machine type's
+# cached AOT executables SIGILL/SIGSEGVs (see utils/compile_cache.py).
+from syn3r_tpu.utils.compile_cache import configure as _cc  # noqa: E402
+
+_cc(jax)
 # This XLA:CPU build honors the TPU-style default (reduced) matmul
 # precision; golden-parity tests need exact f32. Production TPU compute
 # uses explicit bf16 dtypes, which this setting does not affect.
