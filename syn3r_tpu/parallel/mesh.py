@@ -24,6 +24,18 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def make_mesh_2d(n_a: int, n_b: int, axes=("dir", "model")) -> Mesh:
+    """2D mesh for composed parallelism — e.g. v5e-8 as (dir=2, model=4):
+    the guided denoise's two directions sharded over ``axes[0]`` while the
+    UNet's attention/FF params are Megatron-sharded over ``axes[1]``
+    (parallel/tensor_parallel.py). Pure GSPMD composition: no pipeline
+    code changes, the params' and activations' shardings meet in jit."""
+    import numpy as np
+    devices = jax.devices()
+    assert len(devices) >= n_a * n_b, (n_a, n_b, len(devices))
+    return Mesh(np.asarray(devices[:n_a * n_b]).reshape(n_a, n_b), axes)
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

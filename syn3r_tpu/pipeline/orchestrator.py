@@ -34,6 +34,18 @@ from ..utils.profiling import PhaseTimer
 from . import completion as C
 
 
+def _leading_axis_shards(sharding) -> int:
+    """Number of shards a NamedSharding splits its leading axis into (1
+    when unsharded/None)."""
+    if sharding is None or not len(sharding.spec):
+        return 1
+    spec0 = sharding.spec[0]
+    if spec0 is None:
+        return 1
+    names = spec0 if isinstance(spec0, tuple) else (spec0,)
+    return int(np.prod([sharding.mesh.shape[n] for n in names]))
+
+
 @dataclasses.dataclass
 class DiffusionGSConfig:
     diffusion_width: int = 1024
@@ -76,6 +88,15 @@ class DiffusionGSConfig:
     # TSP-order the train views ("SalesMan", reference :62-66); every
     # shipped config leaves this on.
     reorg_train_views: bool = True
+    # run the completion for ALL uncached pairs as ONE vmapped call,
+    # optionally sharded over a mesh axis via pair_sharding (a
+    # NamedSharding whose leading axis is the pair axis) — within-scene
+    # multi-chip scaling: the reference's only parallelism is a bash loop
+    # over scenes (SURVEY.md §2.7); here the N wrap-around pairs of one
+    # scene spread over chips (LLFF: 3 pairs x 2 directions fills 6 of a
+    # v5e-8's chips even single-scene).
+    pair_parallel: bool = False
+    pair_sharding: object = None
     seed: int = 0
 
 
@@ -157,21 +178,24 @@ class DiffusionGS:
         cfg = self.cfg
         order = self._ordered_train_indices()
         cams = self.trainer.train_views.cameras
-        all_frames, all_poses = [], []
+        results: dict[int, tuple[jnp.ndarray, jnp.ndarray]] = {}
 
         # pair topology (reference diffusionGS.py:227,244-250): gs_v2 wraps
         # around (N pairs, last->first included); loop0_gs stops at N-1.
         n = len(order)
         num_pairs = n if cfg.densify_type == "interpolate_gs_v2" else n - 1
 
+        # phase 1: cache hits + conditioning for the uncached pairs (GS
+        # renders + warps — cheap next to the diffusion)
+        pending: list[tuple[int, str, object, jnp.ndarray]] = []
         for pi in range(num_pairs):
             cache = os.path.join(
                 self.save_dir,
                 f"interpolated_dense_views_cyc{cycle}_view{pi}.npz")
             if os.path.exists(cache):
                 data = np.load(cache)
-                all_frames.append(jnp.asarray(data["frames"]))
-                all_poses.append(jnp.asarray(data["poses"]))
+                results[pi] = (jnp.asarray(data["frames"]),
+                               jnp.asarray(data["poses"]))
                 continue
 
             i, j = order[pi], order[(pi + 1) % n]
@@ -192,11 +216,13 @@ class DiffusionGS:
                 img_l, depth_l, img_r, depth_r,
                 num_steps=cfg.num_inference_steps,
                 warp_mode=cfg.interp_type)
+            pending.append((pi, cache, cond, poses_j))
 
-            key = jax.random.PRNGKey(cfg.seed + 1000 * cycle + pi)
-            frames = self.completion_fn(cond.image_start, cond.cond_images,
-                                        cond.image_end, cond.masks,
-                                        cond.lambda_ts, key)
+        # phase 2: completion + post-process. Sequential mode streams
+        # (completion -> cache per pair, preserving the reference's
+        # interrupt-resume granularity); pair_parallel runs ALL pending
+        # pairs as ONE vmapped call sharded over the pair axis.
+        def finish(pi, cache, cond, poses_j, frames):
             if cfg.replace_endpoints:
                 frames = frames.at[0].set(cond.image_start)
                 frames = frames.at[-1].set(cond.image_end)
@@ -204,13 +230,45 @@ class DiffusionGS:
             frames = jax.vmap(
                 lambda f: resize_bilinear(f, self.gs_height, self.gs_width,
                                           antialias=False))(frames)
-            np.savez(cache, frames=np.asarray(frames), poses=poses)
-            all_frames.append(frames)
-            all_poses.append(poses_j)
+            np.savez(cache, frames=np.asarray(frames),
+                     poses=np.asarray(poses_j))
+            results[pi] = (frames, poses_j)
             if log_every:
                 print(f"[densify] cycle {cycle} pair {pi} done")
 
-        return jnp.stack(all_frames), jnp.stack(all_poses)
+        keys = {pi: jax.random.PRNGKey(cfg.seed + 1000 * cycle + pi)
+                for pi, _, _, _ in pending}
+        if cfg.pair_parallel and len(pending) > 1:
+            # pad the pair axis to a multiple of its mesh extent
+            # (device_put requires even shards); padded slots recompute
+            # the last pair and are dropped below
+            shards = _leading_axis_shards(cfg.pair_sharding)
+            pad = (-len(pending)) % shards
+            rows = [c for _, _, c, _ in pending] + [pending[-1][2]] * pad
+            krows = ([keys[pi] for pi, _, _, _ in pending]
+                     + [keys[pending[-1][0]]] * pad)
+            conds = jax.tree.map(lambda *xs: jnp.stack(xs), *rows)
+            kb = jnp.stack(krows)
+            if cfg.pair_sharding is not None:
+                conds = jax.tree.map(
+                    lambda x: jax.device_put(x, cfg.pair_sharding), conds)
+                kb = jax.device_put(kb, cfg.pair_sharding)
+            frames_b = jax.vmap(
+                lambda c, k: self.completion_fn(
+                    c.image_start, c.cond_images, c.image_end, c.masks,
+                    c.lambda_ts, k))(conds, kb)
+            for bi, (pi, cache, cond, poses_j) in enumerate(pending):
+                finish(pi, cache, cond, poses_j, frames_b[bi])
+        else:
+            for pi, cache, cond, poses_j in pending:
+                frames = self.completion_fn(cond.image_start,
+                                            cond.cond_images, cond.image_end,
+                                            cond.masks, cond.lambda_ts,
+                                            keys[pi])
+                finish(pi, cache, cond, poses_j, frames)
+
+        return (jnp.stack([results[pi][0] for pi in range(num_pairs)]),
+                jnp.stack([results[pi][1] for pi in range(num_pairs)]))
 
     def densify_pcds(self, frames, poses, cycle: int):
         """DUSt3R point-cloud densification over FPS-selected keyframes

@@ -233,3 +233,43 @@ def test_refine_captures_pseudo_depths(tmp_path):
     assert tr.pseudo_depths is not None
     assert tr.pseudo_depths.shape[0] == len(tr.pseudo_views)
     assert np.isfinite(np.asarray(tr.pseudo_depths)).all()
+
+
+def test_pair_parallel_densify_matches_sequential(tmp_path):
+    """pair_parallel=True (one vmapped completion, pair axis sharded over
+    the mesh) must reproduce the sequential pair loop exactly — same
+    per-pair PRNG keys, same caches."""
+    import pytest
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >=2 devices")
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    cams, imgs, xyz = _scene()
+    views = make_viewset(cams, imgs)
+    init = G.from_points(jnp.asarray(xyz),
+                         jnp.asarray(np.full_like(xyz, 0.5)), capacity=128)
+    cfg = TrainConfig(iterations=8, densify_from_iter=10 ** 9, chunk=64,
+                      group=1)
+    tr = GSTrainer(views, cfg, init, model_path=str(tmp_path))
+    tr.training(0)
+
+    def run(save_dir, **kw):
+        dcfg = DiffusionGSConfig(diffusion_width=64, diffusion_height=48,
+                                 num_frames=3, num_inference_steps=5,
+                                 refine_cycle_num=1,
+                                 perturb_interp_poses=False, **kw)
+        runner = DiffusionGS(tr, dcfg, save_dir=str(tmp_path / save_dir))
+        return runner.densify_views(0)
+
+    f_seq, p_seq = run("seq")
+    mesh = Mesh(np.array(jax.devices()[:2]), ("pair",))
+    f_par, p_par = run("par", pair_parallel=True,
+                       pair_sharding=NamedSharding(mesh, P("pair")))
+    assert f_par.shape == f_seq.shape == (3, 3, 48, 64, 3)
+    np.testing.assert_allclose(np.asarray(f_par), np.asarray(f_seq),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(p_par), np.asarray(p_seq),
+                               atol=0)
+    # caches written for the parallel path too; reload hits them
+    f2, _ = run("par", pair_parallel=True)
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(f_par), atol=0)
