@@ -170,6 +170,39 @@ def bench_guided_denoise():
     lat0 = jax.random.normal(rng, (f, hl, wl, 4), jnp.float32) * sch.sigmas[0]
     dt = _chain_time(lambda x: step_jit(params, x), lat0, iters=5)
 
+    # opt-in reuse mode (GuidedSVDConfig.guidance_reuse_cfg_uncond): the
+    # CFG pass's uncond row doubles as the guidance x0 — ONE batch-2
+    # forward per direction instead of batch-3 (documented divergence via
+    # the time-context quirk; per-tile std normalization absorbs the
+    # scale shift). Timed as an extra so the speed/fidelity trade is on
+    # the record next to the reference-semantics primary number.
+    def direction_step_reuse(params, latents, cond_d, mask_d, step_i):
+        t = sch.timesteps[step_i]
+        sigma = sch.sigmas[step_i]
+        scaled = S.scale_model_input(sch, latents, step_i)
+        inp2 = jnp.stack([
+            jnp.concatenate([scaled, jnp.zeros_like(img_lat)], axis=-1),
+            jnp.concatenate([scaled, img_lat], axis=-1)], axis=0)
+        eps2 = unet_fp32(params, inp2, t, clip_emb, tids2)
+        x0 = S.pred_original_sample(eps2[0], latents, sigma)
+        grad = S.guidance_grad_tiled(
+            x0.transpose(0, 3, 1, 2), cond_d.transpose(0, 3, 1, 2),
+            mask_d, lam[step_i], sigma, lr=0.02)
+        next_lat = latents - grad.transpose(0, 2, 3, 1)
+        eps = eps2[0] + guidance * (eps2[1] - eps2[0])
+        prev, _ = S.step_interp(sch, eps, next_lat, step_i)
+        return prev
+
+    def guided_dual_step_reuse(params, latents, step_i=0):
+        fwd = direction_step_reuse(params, latents, cond2[0], mask2[0],
+                                   step_i)
+        bwd = direction_step_reuse(params, jnp.flip(latents, 0), cond2[1],
+                                   mask2[1], step_i)
+        return weight_fw * fwd + (1 - weight_fw) * jnp.flip(bwd, 0)
+
+    reuse_jit = jax.jit(guided_dual_step_reuse)
+    dt_reuse = _chain_time(lambda x: reuse_jit(params, x), lat0, iters=3)
+
     # CFG (batch 2) UNet forward MFU (XLA flops over measured time)
     @jax.jit
     def cfg_fwd(params, x):
@@ -183,7 +216,7 @@ def bench_guided_denoise():
     flops = compiled.cost_analysis()["flops"]
     dt_fwd = _chain_time(functools.partial(cfg_fwd, params), lat0, iters=5)
     mfu = flops / dt_fwd / 197e12 * 100.0
-    return dt, dt_fwd, mfu, params, unet
+    return dt, dt_reuse, dt_fwd, mfu, params, unet
 
 
 def bench_completion_pair(dt_guided):
@@ -310,7 +343,7 @@ def main():
     from syn3r_tpu.utils.compile_cache import configure as _cc
     _cc(jax)  # host-feature-keyed dir: foreign AOT cache entries SIGILL
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
-    dt_guided, dt_fwd, mfu, _, _ = bench_guided_denoise()
+    dt_guided, dt_reuse, dt_fwd, mfu, _, _ = bench_guided_denoise()
     pair_s, enc_s, dec_s = bench_completion_pair(dt_guided)
     gs_dt = bench_gs_step()
     print(json.dumps({
@@ -323,6 +356,9 @@ def main():
             "completion_s_per_pair": round(pair_s, 1),
             "vae_encode27_s": round(enc_s, 2),
             "vae_decode25_s": round(dec_s, 2),
+            "guided_step_s_reuse_uncond": round(dt_reuse, 2),
+            "completion_s_per_pair_reuse": round(
+                enc_s + 100.0 * dt_reuse + dec_s, 1),
             "unet_cfg_fwd_ms": round(dt_fwd * 1e3, 1),
             "unet_fwd_mfu_pct": round(mfu, 1),
             "gs_train_step_ms": round(gs_dt * 1e3, 1),

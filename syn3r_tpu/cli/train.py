@@ -59,6 +59,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "diffusionGS.py:62-66); every shipped config "
                         "leaves this on")
     p.add_argument("--num_inference_steps", type=int, default=100)
+    p.add_argument("--guidance_reuse_cfg_uncond", type=int, default=0,
+                   help="opt-in speed knob: reuse the CFG pass's uncond "
+                        "row as the guidance x0 (one batch-2 UNet forward "
+                        "per step/direction instead of batch-3, ~1/3 of "
+                        "the step FLOPs saved; documented divergence from "
+                        "the reference via the time-context batch quirk)")
     p.add_argument("--diffusion_width", type=int, default=1024)
     p.add_argument("--diffusion_height", type=int, default=576)
     p.add_argument("--num_frames", type=int, default=25)
@@ -226,7 +232,9 @@ def _load_svd_completion(args):
     variant = ("post" if args.diffusion_type == "2PassProbUncertainPost"
                else "prob")
     cfg = GuidedSVDConfig(num_inference_steps=args.num_inference_steps,
-                          variant=variant)
+                          variant=variant,
+                          guidance_reuse_cfg_uncond=bool(
+                              args.guidance_reuse_cfg_uncond))
     return GuidedSVDPipeline(models, cfg)
 
 

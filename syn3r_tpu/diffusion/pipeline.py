@@ -105,6 +105,20 @@ class GuidedSVDConfig:
     # sub-call's batch semantics; see UNetSpatioTemporalConditionModel),
     # one dispatch and better MXU occupancy instead of two.
     fused_guidance_cfg: bool = True
+    # post-variant speed knob (opt-in, documented DIVERGENCE): reuse the
+    # CFG pass's uncond row as the guidance pass's eps instead of running
+    # the dedicated batch-1 uncond forward — one batch-2 UNet forward per
+    # step/direction instead of batch-3 (~1/3 of the step FLOPs saved).
+    # The two rows differ ONLY through the time-context batch quirk: in
+    # the batch-2 CFG group, half of each row's pixel rows attend to the
+    # COND clip embedding in temporal cross-attention (see
+    # TransformerSpatioTemporalModel), while the reference's guidance pass
+    # (batch 1) sees the uncond context everywhere. The per-tile std
+    # normalization inside guidance_grad_tiled washes out the scale
+    # difference; quality must be validated per-dataset before flipping
+    # this on (with zero CLIP embeddings the two variants are bit-equal —
+    # pinned by tests/test_pipeline.py::test_guidance_reuse_cfg_uncond).
+    guidance_reuse_cfg_uncond: bool = False
     # run the forward/backward direction passes as a vmapped axis of 2 —
     # identical numerics, batched matmuls. Defaults OFF on a single chip:
     # the combined CFG x direction UNet batch (100 effective frames at
@@ -292,6 +306,29 @@ class GuidedSVDPipeline:
                 grad = S.normalize_guidance_grad(grad, sigma,
                                                  lr=cfg.guidance_lr)
                 latents = latents - grad
+            elif cfg.variant == "post" and cfg.guidance_reuse_cfg_uncond:
+                # -- opt-in speed knob (documented divergence, see config):
+                # ONE batch-2 CFG forward at the pre-grad latents serves
+                # BOTH the guidance x0 (its uncond row) and the CFG combo —
+                # drops the dedicated batch-1 guidance forward entirely.
+                # The uncond row differs from the reference's batch-1 pass
+                # only through the time-context batch quirk; the per-tile
+                # std normalization absorbs the scale shift.
+                scaled = S.scale_model_input(sch, latents, step_i)
+                inp2 = jnp.stack([
+                    jnp.concatenate([scaled, jnp.zeros_like(img_lat)],
+                                    axis=-1),
+                    jnp.concatenate([scaled, img_lat], axis=-1)], axis=0)
+                eps2 = unet_plain(inp2, t, clip_emb, tids2)
+                x0 = S.pred_original_sample(eps2[0], latents, sigma)
+                grad = S.guidance_grad_tiled(
+                    x0.transpose(0, 3, 1, 2), cond.transpose(0, 3, 1, 2),
+                    msk, lam[step_i], sigma, lr=cfg.guidance_lr,
+                    tile_mode=self._tile_mode(latents))
+                latents = latents - grad.transpose(0, 2, 3, 1)
+                eps = eps2[0] + guidance * (eps2[1] - eps2[0])
+                prev, _ = S.step_interp(sch, eps, latents, step_i)
+                return prev
             elif cfg.variant == "post" and cfg.fused_guidance_cfg:
                 # -- reference semantics, fused: the guidance pass (batch 1
                 # uncond — SVD_2pass_prob_uncertain_post.py:758-769 tile

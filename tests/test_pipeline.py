@@ -161,3 +161,73 @@ def test_fused_guidance_cfg_matches_unfused(tiny_models):
     fused = run(fused_guidance_cfg=True)
     unfused = run(fused_guidance_cfg=False)
     np.testing.assert_allclose(fused, unfused, rtol=1e-3, atol=1e-5)
+
+
+def test_guidance_reuse_cfg_uncond(tiny_models):
+    """Opt-in batch-2 mode (guidance x0 from the CFG pass's uncond row).
+
+    The reuse row differs from the dedicated batch-1 guidance forward ONLY
+    through the time-context batch quirk (half the pixel rows attend to
+    the COND clip row in temporal cross-attn). With ZERO clip embeddings
+    both grouping variants see identical contexts everywhere, so the
+    reuse mode must match the exact mode to batched-matmul noise; with
+    nonzero embeddings it must diverge (proving the knob changes the
+    guidance signal, as documented) while staying finite."""
+    key = jax.random.PRNGKey(7)
+    lat = jax.random.normal(key, (1, F, LH, LW, 4))
+    cond = jax.random.normal(key, (F, LH, LW, 4)) * 0.1
+    mask = jnp.full((F - 2, LH, LW), 0.4)
+    lam = jnp.ones((STEPS, F))
+
+    def run(clip_s, clip_e, **kw):
+        cfg = GuidedSVDConfig(num_inference_steps=STEPS, num_frames=F,
+                              variant="post", compute_dtype=jnp.float32,
+                              **kw)
+        pipe = GuidedSVDPipeline(tiny_models, cfg)
+        return np.asarray(pipe.denoise(lat, clip_s, clip_e, cond, mask,
+                                       lam))
+
+    # zero embeddings: the quirk is inert -> exact agreement
+    zs = jnp.zeros((2, 1, 1024))
+    exact = run(zs, zs)
+    reuse = run(zs, zs, guidance_reuse_cfg_uncond=True)
+    np.testing.assert_allclose(reuse, exact, rtol=1e-3, atol=1e-5)
+
+    # nonzero embeddings: documented divergence, finite output
+    clip_s = jax.random.normal(key, (2, 1, 1024))
+    clip_e = jax.random.normal(jax.random.PRNGKey(8), (2, 1, 1024))
+    exact_n = run(clip_s, clip_e)
+    reuse_n = run(clip_s, clip_e, guidance_reuse_cfg_uncond=True)
+    assert np.isfinite(reuse_n).all()
+    assert np.abs(reuse_n - exact_n).max() > 1e-6
+
+
+def test_pipeline_vmap_pairs(tiny_models):
+    """The whole pipeline __call__ is vmappable over a pair axis — the
+    contract pair-parallel densify relies on (orchestrator pair_parallel:
+    one batched completion call, pairs sharded over chips). Batched result
+    must equal the per-pair calls."""
+    cfg = GuidedSVDConfig(num_inference_steps=STEPS, num_frames=F,
+                          compute_dtype=jnp.float32, latent_num=1)
+    pipe = GuidedSVDPipeline(tiny_models, cfg)
+    key = jax.random.PRNGKey(7)
+    k1, k2 = jax.random.split(key)
+
+    def mk(seed):
+        r = np.random.default_rng(seed)
+        return (jnp.asarray(r.uniform(size=(H, W, 3)), jnp.float32),
+                jnp.asarray(r.uniform(size=(F - 2, H, W, 3)), jnp.float32),
+                jnp.asarray(r.uniform(size=(H, W, 3)), jnp.float32),
+                jnp.full((F - 2, LH, LW), 0.4),
+                jnp.ones((STEPS, F)))
+    a, b = mk(1), mk(2)
+    ref0 = pipe(*a, k1)
+    ref1 = pipe(*b, k2)
+
+    batched = jax.tree.map(lambda x, y: jnp.stack([x, y]), a, b)
+    keys = jnp.stack([k1, k2])
+    out = jax.vmap(lambda args, k: pipe(*args, k))(batched, keys)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref0),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out[1]), np.asarray(ref1),
+                               atol=2e-5)
