@@ -39,4 +39,8 @@ cat /tmp/bench_r3.json >> "$LOG"
 echo "[battery] === gs profile ===" >> "$LOG"
 timeout 1800 python scripts/profile_gs_step.py >> "$LOG" 2>&1
 echo "[battery] profile exit: $?" >> "$LOG"
+
+echo "[battery] === unet component profile ===" >> "$LOG"
+timeout 3600 python scripts/profile_unet_step.py >> "$LOG" 2>&1
+echo "[battery] unet profile exit: $?" >> "$LOG"
 echo "[battery] done $(date -u)" >> "$LOG"
