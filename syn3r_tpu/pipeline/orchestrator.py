@@ -209,8 +209,21 @@ class DiffusionGS:
                 poses = np.concatenate([poses[:1], interior, poses[-1:]])
             poses_j = jnp.asarray(poses)
 
-            img_l, depth_l = self.render_diffusion_res(poses_j[0])
-            img_r, depth_r = self.render_diffusion_res(poses_j[-1])
+            # Endpoint images are the ORIGINAL input photos, not GS
+            # renders: reference render_GS(idx=...) returns
+            # cam.get_image() for a train index (diffusionGS.py:152-154),
+            # and warp_images_bw NEAREST-upsizes them to the diffusion
+            # resolution (:1398-1441). Only the endpoint DEPTHS come from
+            # the GS render (here rendered directly at diffusion res
+            # instead of GS-res render + nearest resize — documented
+            # TPU-first simplification; same pose, finer sampling).
+            from ..utils.image import resize_nearest
+            img_l = resize_nearest(self.trainer.train_views.images[i],
+                                   cfg.diffusion_height, cfg.diffusion_width)
+            img_r = resize_nearest(self.trainer.train_views.images[j],
+                                   cfg.diffusion_height, cfg.diffusion_width)
+            _, depth_l = self.render_diffusion_res(poses_j[0])
+            _, depth_r = self.render_diffusion_res(poses_j[-1])
             cond = C.prepare_pair_conditioning(
                 self.render_diffusion_res, self.diffusion_K, poses_j,
                 img_l, depth_l, img_r, depth_r,
@@ -284,8 +297,11 @@ class DiffusionGS:
         # covisibility metric when fps_keyframe_sampling (DL3DV preset),
         # evenly spaced linspace otherwise; sorted, last selected index
         # dropped (:281 — each pair's final frame duplicates the next
-        # pair's first).
-        key_idx = []
+        # pair's first). Frame 0 of each pair is an input view
+        # (input_flags, reference :272) — it bypasses the quality gate
+        # below; the loop0 chain's very last frame is an appended input
+        # keyframe too (:285-289).
+        key_idx, input_flags = [], []
         for pi in range(p):
             if cfg.fps_keyframe_sampling:
                 loc = sorted(C.fps_keyframes(
@@ -295,18 +311,27 @@ class DiffusionGS:
                 loc = list(np.linspace(
                     0, f - 1, cfg.num_views_for_pcd_densification,
                     dtype=int))
-            key_idx.extend(pi * f + int(i) for i in loc[:-1])
+            for i in loc[:-1]:
+                key_idx.append(pi * f + int(i))
+                input_flags.append(int(i) == 0)
+        if cfg.densify_type == "interpolate_loop0_gs":
+            key_idx.append((p - 1) * f + f - 1)
+            input_flags.append(True)
         flat_frames = np.asarray(frames).reshape(-1, *frames.shape[2:])
         flat_poses = np.asarray(poses).reshape(-1, 4, 4)
         flat_frames = flat_frames[key_idx]
         flat_poses = flat_poses[key_idx]
 
         # frame-quality gate on the key frames: GMFlow fwd-bwd consistency
-        # vs the GS render (reference :374-385); skipped without a flow_fn
+        # vs the GS render (reference :374-385); input frames always pass
+        # (reference :386 ``or input_flags[i]``). Skipped without a flow_fn.
         if self.flow_fn is not None:
             from ..vision.gmflow import correspondence_mask
             keep = []
             for i in range(len(flat_frames)):
+                if input_flags[i]:
+                    keep.append(True)
+                    continue
                 rendered, _ = self.render_gs_res(jnp.asarray(flat_poses[i]))
                 _, _, mean = correspondence_mask(
                     self.flow_fn, jnp.asarray(flat_frames[i]), rendered)
@@ -348,6 +373,23 @@ class DiffusionGS:
         out = self.trainer.render_view(cam)
         return out["render"], out["depth"]
 
+    def _refine_view_stack(self, frames, poses):
+        """Flatten (P, F, ...) pair stacks into the pseudo-view set refine
+        trains on (reference densify_views :272-289): each pair contributes
+        frames[:-1] — its final frame duplicates the next pair's first
+        (wrap-around) or the next chain link's start, so keeping it would
+        double-count the input views in the pseudo sampling distribution —
+        and the DTU 'interpolate_loop0_gs' chain appends the very last
+        pair's final frame back (it has no successor pair, :285-289)."""
+        p, f = frames.shape[:2]
+        flat_f = np.asarray(frames[:, :-1]).reshape(
+            p * (f - 1), *frames.shape[2:])
+        flat_p = np.asarray(poses[:, :-1]).reshape(p * (f - 1), 4, 4)
+        if self.cfg.densify_type == "interpolate_loop0_gs":
+            flat_f = np.concatenate([flat_f, np.asarray(frames[-1, -1:])])
+            flat_p = np.concatenate([flat_p, np.asarray(poses[-1, -1:])])
+        return flat_f, flat_p
+
     def refine_GS(self, frames, poses, cycle: int, load_ckpt: bool = False,
                   log_every: int = 0):
         """Install pseudo views and finetune (reference :1610-1645).
@@ -359,9 +401,7 @@ class DiffusionGS:
             ckpt = tr.latest_checkpoint()
             if ckpt:
                 tr.load_checkpoint(ckpt)
-        p, f = frames.shape[:2]
-        flat_frames = np.asarray(frames).reshape(p * f, *frames.shape[2:])
-        flat_poses = np.asarray(poses).reshape(p * f, 4, 4)
+        flat_frames, flat_poses = self._refine_view_stack(frames, poses)
         K_gs = np.asarray(jax.tree.map(lambda x: x[0],
                                        tr.train_views.cameras).K)
         depths = None

@@ -112,6 +112,13 @@ def resize_bilinear(img: jnp.ndarray, out_h: int, out_w: int,
                             antialias=antialias)
 
 
+def resize_nearest(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """Nearest-neighbor resize (the reference upsizes the endpoint photos
+    and depths to the diffusion resolution with cv2.INTER_NEAREST,
+    diffusionGS.py:1398-1441)."""
+    return jax.image.resize(img, (out_h, out_w) + img.shape[2:], "nearest")
+
+
 # ---------------------------------------------------------------------------
 # Metrics
 # ---------------------------------------------------------------------------

@@ -140,9 +140,11 @@ def test_full_refine_cycle(tmp_path):
     runner.run(refine_cycles=1)
     # pseudo views installed with the configured confidence; the default
     # interpolate_gs_v2 topology gives N pairs INCLUDING the wrap-around
-    # (last -> first), reference diffusionGS.py:227,248-250
+    # (last -> first), reference diffusionGS.py:227,248-250 — and each
+    # pair contributes frames[:-1] to the refine set (its final frame
+    # duplicates the next pair's first, reference :278-280)
     assert tr.pseudo_views is not None
-    assert len(tr.pseudo_views) == 3 * 5  # n_views wrap-around pairs x frames
+    assert len(tr.pseudo_views) == 3 * 4  # wrap-around pairs x (frames-1)
     np.testing.assert_allclose(
         np.asarray(tr.pseudo_views.cameras.confidence), 0.05)
     # caches written and reusable
@@ -152,6 +154,42 @@ def test_full_refine_cycle(tmp_path):
     assert frames.shape == (3, 5, 48, 64, 3)
     # checkpoints with reference naming
     assert tr.latest_checkpoint() is not None
+
+
+def test_densify_endpoints_are_original_photos(tmp_path):
+    """The endpoint conditioning images are the ORIGINAL input photos, not
+    GS renders: reference render_GS(idx=...) returns cam.get_image() for a
+    train index (diffusionGS.py:152-154) and warp_images_bw nearest-upsizes
+    them (:1398-1441); only the endpoint depths come from the GS render.
+    With a deliberately bad GS fit and diffusion res == GS res, the cached
+    frames' endpoints (replace_endpoints) must equal the photos exactly."""
+    cams, imgs, xyz = _scene()
+    views = make_viewset(cams, imgs)
+    rng = np.random.default_rng(3)
+    bad = G.from_points(                      # random cloud: render != photo
+        jnp.asarray(rng.uniform(-0.8, 0.8, (64, 3)).astype(np.float32)
+                    + np.asarray([0, 0, 2.0], np.float32)),
+        jnp.asarray(rng.uniform(0, 1, (64, 3)).astype(np.float32)),
+        capacity=128)
+    cfg = TrainConfig(iterations=4, densify_from_iter=10 ** 9, chunk=64,
+                      group=1)
+    tr = GSTrainer(views, cfg, bad, model_path=str(tmp_path))
+    dcfg = DiffusionGSConfig(diffusion_width=64, diffusion_height=48,
+                             num_frames=3, num_inference_steps=5,
+                             refine_cycle_num=1, perturb_interp_poses=False)
+    runner = DiffusionGS(tr, dcfg, save_dir=str(tmp_path / "dense"))
+    tr.training(0)
+    frames, _ = runner.densify_views(0)
+    order = runner._ordered_train_indices()
+    for pi in range(frames.shape[0]):
+        i, j = order[pi], order[(pi + 1) % len(order)]
+        np.testing.assert_allclose(np.asarray(frames[pi, 0]), imgs[i],
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(frames[pi, -1]), imgs[j],
+                                   atol=1e-5)
+        gs_render, _ = runner.render_diffusion_res(
+            jnp.asarray(views.cameras.w2c[i]))
+        assert np.abs(np.asarray(gs_render) - imgs[i]).max() > 0.05
 
 
 def test_densify_loop0_pair_topology(tmp_path):
@@ -172,6 +210,13 @@ def test_densify_loop0_pair_topology(tmp_path):
     tr.training(0)
     frames, poses = runner.densify_views(0)
     assert frames.shape[0] == 2                  # N-1 = 2 pairs, no wrap
+    # the refine view set drops each pair's final frame but appends the
+    # very last pair's back — the loop0 chain has no successor pair
+    # (reference diffusionGS.py:278-289): 2 pairs x (3-1) + 1 = 5 views
+    flat_f, flat_p = runner._refine_view_stack(frames, poses)
+    assert flat_f.shape[0] == flat_p.shape[0] == 2 * (3 - 1) + 1
+    np.testing.assert_allclose(flat_f[-1], np.asarray(frames[-1, -1]))
+    np.testing.assert_allclose(flat_p[-1], np.asarray(poses[-1, -1]))
 
 
 def test_fps_keyframes():
