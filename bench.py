@@ -236,26 +236,27 @@ def bench_completion_pair(dt_guided):
     vp = jax.jit(lambda k: vae.init(k, jnp.zeros((1, 64, 64, 3)), 1))(rng)
     vp = jax.tree.map(lambda x: x.astype(dtype), vp)
 
-    img = jax.random.uniform(rng, (1, H, W, 3), jnp.float32)
+    imgs = jax.random.uniform(rng, (27, H, W, 3), jnp.float32)
 
     @jax.jit
-    def encode(p, x):
-        return vae.apply(p, (x * 2 - 1).astype(dtype), method="encode_mode")
+    def encode27(p, x):
+        # chunks of 8 inside ONE jit — mirrors the production
+        # GuidedSVDPipeline._vae_encode_mode_batch (the spatial encoder is
+        # frame-independent; chunking only bounds activation HBM)
+        outs = []
+        for i in range(0, x.shape[0], 8):
+            outs.append(vae.apply(p, (x[i:i + 8] * 2 - 1).astype(dtype),
+                                  method="encode_mode"))
+        return jnp.concatenate(outs, axis=0)
 
-    lat1 = encode(vp, img)
-    _drain(lat1)
+    z27 = encode27(vp, imgs)
+    _drain(z27)
     t0 = time.time()
-    outs = []
-    x = img
-    for _ in range(27):                      # start + 23 conds + end
-        z = encode(vp, x)
-        outs.append(z)
-        x = img + z.astype(jnp.float32).mean() * 0.0  # chain
-    _drain(outs[-1])
+    z27 = encode27(vp, imgs + z27.astype(jnp.float32).mean() * 0.0)
+    _drain(z27)
     t_encode = time.time() - t0
 
-    z25 = jnp.concatenate([jnp.tile(o[:1], (1, 1, 1, 1)) for o in outs[:25]],
-                          axis=0)
+    z25 = z27[:25]
 
     @jax.jit
     def decode(p, z):

@@ -43,4 +43,9 @@ echo "[battery] profile exit: $?" >> "$LOG"
 echo "[battery] === unet component profile ===" >> "$LOG"
 timeout 3600 python scripts/profile_unet_step.py >> "$LOG" 2>&1
 echo "[battery] unet profile exit: $?" >> "$LOG"
+
+echo "[battery] === LLFF protocol evidence run ===" >> "$LOG"
+PYTHONPATH=/root/repo timeout 3600 \
+    python .claude/skills/verify/protocol_run.py >> "$LOG" 2>&1
+echo "[battery] protocol exit: $?" >> "$LOG"
 echo "[battery] done $(date -u)" >> "$LOG"

@@ -5,8 +5,10 @@ The geometry/uncertainty half of the reference's densify path
 
   - pose interpolation between endpoint cameras (+ optional perturbation
     selecting max-uncertainty candidates, :653-766);
-  - backward warping of the endpoint renders to every interpolated pose
-    using the GS-rendered target depth (``warp_images_bw``, :1367-1510);
+  - backward warping of the endpoint images (the ORIGINAL input photos,
+    nearest-upsized — render_GS(idx) returns cam.get_image(), :152-154;
+    their depths are GS renders) to every interpolated pose using the
+    GS-rendered target depth (``warp_images_bw``, :1367-1510);
   - uncertainty fusion: geometric (soft cycle-reprojection) x intensity
     confidence exp(-(|warped - rendered|/0.5)^3), holes zeroed (:821-847);
   - cond-image fallback to the GS render where uncertainty > 0.5 (:862);
