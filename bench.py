@@ -33,11 +33,27 @@ import sys
 import time
 
 # XLA's compile passes recurse deeply on the fused 100-step graphs below;
-# the default 8 MB main-thread stack intermittently SIGSEGVs (see
-# tests/conftest.py). Linux grows the stack up to RLIMIT_STACK on fault.
+# the default 8 MB main-thread stack SIGSEGVs. A runtime setrlimit is not
+# sufficient — the kernel reserves the stack-growth gap from the soft
+# limit at EXECVE time (see tests/conftest.py) — so raise and re-exec once.
 _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
 if _soft != resource.RLIM_INFINITY and _soft < 512 * 1024 * 1024:
-    resource.setrlimit(resource.RLIMIT_STACK, (512 * 1024 * 1024, _hard))
+    _new = (512 * 1024 * 1024 if _hard == resource.RLIM_INFINITY
+            else min(512 * 1024 * 1024, _hard))
+    resource.setrlimit(resource.RLIMIT_STACK, (_new, _hard))
+    if os.environ.get("SYN3R_STACK_REEXEC") != "1":
+        os.environ["SYN3R_STACK_REEXEC"] = "1"
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
+# XLA:CPU JIT code pages can exhaust vm.max_map_count on big fused graphs
+# (see tests/conftest.py); raise it when permitted, ignore otherwise.
+try:
+    with open("/proc/sys/vm/max_map_count", "r+") as _f:
+        if int(_f.read()) < 1_048_576:
+            _f.seek(0)
+            _f.write("1048576")
+except OSError:
+    pass
 
 
 def _probe_backend(timeout_s=180):

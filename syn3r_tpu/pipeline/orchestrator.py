@@ -29,7 +29,7 @@ import numpy as np
 
 from ..gs.trainer import GSTrainer
 from ..utils.camera import Camera, make_camera
-from ..utils.image import resize_bilinear
+from ..utils.image import resize_bilinear, resize_nearest
 from ..utils.profiling import PhaseTimer
 from . import completion as C
 
@@ -217,7 +217,6 @@ class DiffusionGS:
             # the GS render (here rendered directly at diffusion res
             # instead of GS-res render + nearest resize — documented
             # TPU-first simplification; same pose, finer sampling).
-            from ..utils.image import resize_nearest
             img_l = resize_nearest(self.trainer.train_views.images[i],
                                    cfg.diffusion_height, cfg.diffusion_width)
             img_r = resize_nearest(self.trainer.train_views.images[j],
