@@ -38,17 +38,24 @@ PRESETS = {
              "--sample_svd_pseudo_interval", "1",
              "--start_sample_svd_frame", "2000",
              "--svd_depth_warmup", "1",
+             "--use_proximity_densify", "0",
              "--densify_grad_threshold", "0.0002",
              "--percent_dense", "0.001"],
     "dtu": ["--n_views", "3", "--diffusion_type", "2PassProbUncertain",
             "--densify_type", "interpolate_loop0_gs",
             "--cam_confidence", "0.05", "--lambda_dssim", "0.5",
+            "--sample_svd_pseudo_interval", "1",
             "--resolution", "4", "--refine_cycle_num", "2"],
     "dl3dv": ["--n_views", "9", "--diffusion_type",
               "2PassProbUncertainPost", "--cam_confidence", "0.2",
               "--rand_pcd", "--images", "images_4",
               "--num_views_for_pcd_densification", "4",
               "--fps_keyframe_sampling", "1",
+              "--sample_svd_pseudo_interval", "1",
+              "--svd_depth_warmup", "1",
+              "--use_proximity_densify", "0",
+              "--densify_grad_threshold", "0.0002",
+              "--percent_dense", "0.001",
               "--refine_cycle_num", "2"],
 }
 

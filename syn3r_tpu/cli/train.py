@@ -39,7 +39,6 @@ def build_parser() -> argparse.ArgumentParser:
                         "(every shipped config); forward_warp = endpoint "
                         "splatting with binary masks")
     p.add_argument("--refine_cycle_num", type=int, default=2)
-    p.add_argument("--refine_epoch", type=int, default=1)
     p.add_argument("--cam_confidence", type=float, default=0.05)
     # NOTE: accepted for reference-CLI parity but a deliberate no-op: in
     # the reference's live path the clamp is hard-coded to 0.4 inside the
@@ -86,6 +85,33 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--percent_dense", type=float, default=0.01)
     p.add_argument("--sample_svd_pseudo_interval", type=int, default=2)
     p.add_argument("--start_sample_svd_frame", type=int, default=2000)
+    p.add_argument("--use_proximity_densify", type=int, default=1,
+                   help="FSGS proximity-guided Gaussian unpooling "
+                        "(reconstructed semantics, gs/densify.py). Default "
+                        "ON like the fork: the LLFF/DL3DV reference scripts "
+                        "pass 0 explicitly (batch_llff_train.sh:38) while "
+                        "DTU leaves it on (batch_dtu_train.sh:39-42)")
+    p.add_argument("--proximity_threshold", type=float, default=0.01,
+                   help="grow where mean 3-NN distance > this x scene "
+                        "extent (proximity unpooling)")
+    # fork-surface flags consumed only inside the missing FSGS submodule;
+    # accepted for script-level CLI parity (every shipped config passes
+    # them), with the equivalence documented:
+    p.add_argument("--num_train_samples", type=int, default=None,
+                   help="fork flag; equals --n_views in every shipped "
+                        "config (batch_*_train.sh) — --n_views is "
+                        "authoritative here")
+    p.add_argument("--use_dust3r", type=int, default=0,
+                   help="fork flag (FSGS-side dust3r init); 0 in every "
+                        "shipped config — the live dust3r branch is "
+                        "gated by --num_views_for_pcd_densification > 1 "
+                        "and --dust3r_weights here")
+    p.add_argument("--dataset", default="llff",
+                   choices=["llff", "dtu", "dl3dv"],
+                   help="accepted for script parity; only consumed by "
+                        "dead code in the reference (diffusionGS.py:474,"
+                        "604 inside _extrapolate_from*) — dataset "
+                        "behavior here comes from the explicit flags")
     p.add_argument("--sample_pseudo_interval", type=int, default=10 ** 20,
                    help="FSGS monocular-depth pseudo-view interval (1e20 = "
                         "off, the value every reference config passes — "
@@ -156,6 +182,8 @@ def main(argv=None):
         pseudo_cam_sampling_rate=args.pseudo_cam_sampling_rate,
         svd_depth_warmup=args.svd_depth_warmup,
         lpips_weight=args.lpips_weight,
+        use_proximity_densify=bool(args.use_proximity_densify),
+        proximity_threshold=args.proximity_threshold,
         rasterizer=args.rasterizer, tile_cap=args.tile_cap, seed=args.seed)
     trainer = GSTrainer(views, cfg, init, model_path=args.model_path,
                         test_views=test_views)
@@ -185,7 +213,6 @@ def main(argv=None):
         num_frames=args.num_frames,
         num_inference_steps=args.num_inference_steps,
         refine_cycle_num=args.refine_cycle_num,
-        refine_epoch=args.refine_epoch,
         cam_confidence=args.cam_confidence,
         densify_type=args.densify_type,
         interp_type=args.interp_type,

@@ -64,12 +64,28 @@ def densify_and_prune(state: GaussianState, stats: DensifyStats,
                       percent_dense: float = 0.01, extent: float = 1.0,
                       min_opacity: float = 0.005,
                       max_world_scale: float | None = None,
-                      split_factor: float = 1.6):
+                      split_factor: float = 1.6,
+                      use_proximity: bool = False,
+                      proximity_k: int = 3,
+                      proximity_threshold: float = 0.01):
     """One adaptive-density step. Returns (new_state, changed_slots_mask).
 
     ``changed_slots_mask`` marks slots whose parameters were (re)written —
     the trainer zeroes Adam moments there, matching the CUDA trainer's
     behavior of fresh optimizer entries for new Gaussians.
+
+    ``use_proximity`` adds FSGS's proximity-guided Gaussian unpooling
+    (the fork's ``--use_proximity_densify`` flag; implementation inside the
+    missing FSGS submodule — semantics reconstructed from the FSGS paper
+    §3.2: Gaussians whose mean distance to their K nearest neighbors is
+    large sit in under-reconstructed regions, and new Gaussians are grown
+    on the edges toward those neighbors with averaged attributes). Here:
+    selection is active & mean-NN-distance > ``proximity_threshold * extent``
+    (with all K neighbors real), and each selected Gaussian grows midpoints
+    to its 2 nearest neighbors — the same 2x growth bound as split.
+    The reference scripts pass 0 for LLFF/DL3DV
+    (bash_scripts/batch_llff_train.sh:38, batch_dl3dv_train.sh:85) and leave
+    the fork default — on — for DTU (batch_dtu_train.sh:39-42).
     """
     cap = state.capacity
     avg_grad = stats.grad_accum / jnp.maximum(stats.denom, 1.0)
@@ -112,6 +128,26 @@ def densify_and_prune(state: GaussianState, stats: DensifyStats,
     }
     cand_valid = jnp.concatenate([clone, split, split], axis=0)  # (3cap,)
 
+    if use_proximity:
+        from ..ops.knn import knn_with_indices
+        d2, nbr, nbr_ok = knn_with_indices(state.means, k=proximity_k,
+                                           valid=state.active)
+        prox = jnp.sqrt(d2).mean(axis=-1)                     # mean NN dist
+        grow = (state.active & nbr_ok.all(axis=-1)
+                & (prox > proximity_threshold * extent))
+        half = (state.opacity_logits, state.sh_dc, state.sh_rest,
+                state.log_scales)
+        for t in range(2):                # edges to the 2 nearest neighbors
+            nb = nbr[:, t]
+            cand["means"] = jnp.concatenate(
+                [cand["means"], 0.5 * (state.means + state.means[nb])])
+            cand["quats"] = jnp.concatenate([cand["quats"], state.quats])
+            for name, f in zip(("opacity_logits", "sh_dc", "sh_rest",
+                                "log_scales"), half):
+                cand[name] = jnp.concatenate(
+                    [cand[name], 0.5 * (f + f[nb])])
+            cand_valid = jnp.concatenate([cand_valid, grow])
+
     # compact candidates to the front (stable: argsort of ~valid)
     order = jnp.argsort(~cand_valid, stable=True)
     cand = {k: v[order] for k, v in cand.items()}
@@ -120,7 +156,7 @@ def densify_and_prune(state: GaussianState, stats: DensifyStats,
     # free slots to the front (inactive-after-prune first)
     free_order = jnp.argsort(keep, stable=True)           # False first
     n_free = cap - keep.sum()
-    j = jnp.arange(3 * cap)
+    j = jnp.arange(cand_valid.shape[0])
     can_write = (j < n_new) & (j < n_free)
     # slot for candidate j: free_order[min(j, cap-1)], invalid -> cap (drop)
     slot = jnp.where(can_write, free_order[jnp.minimum(j, cap - 1)], cap)

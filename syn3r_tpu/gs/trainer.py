@@ -75,6 +75,16 @@ class TrainConfig:
     min_opacity: float = 0.005
     max_world_scale: Optional[float] = 0.1
     capacity_growth_occupancy: float = 0.85
+    # FSGS proximity-guided Gaussian unpooling (the fork's
+    # --use_proximity_densify; semantics reconstructed from the FSGS paper
+    # — see gs/densify.densify_and_prune). The fork's default is ON (the
+    # LLFF/DL3DV scripts pass 0 explicitly, batch_llff_train.sh:38, while
+    # the DTU script passes nothing, batch_dtu_train.sh:39-42 — so DTU's
+    # live path runs WITH it); the internal default here is off so the
+    # toggle is always explicit, and cli/train.py mirrors the fork's
+    # default-on surface.
+    use_proximity_densify: bool = False
+    proximity_threshold: float = 0.01
     # FSGS's MONOCULAR-depth pseudo-view regularization (upstream FSGS's
     # --sample_pseudo_interval / --start_sample_pseudo; visible at
     # reference bash_scripts/batch_llff_train.sh:39, which passes 1e20 =
@@ -462,7 +472,9 @@ class GSTrainer:
             grad_threshold=cfg.densify_grad_threshold,
             percent_dense=cfg.percent_dense, extent=self.extent,
             min_opacity=cfg.min_opacity,
-            max_world_scale=cfg.max_world_scale)
+            max_world_scale=cfg.max_world_scale,
+            use_proximity=cfg.use_proximity_densify,
+            proximity_threshold=cfg.proximity_threshold)
         # zero Adam moments of rewritten slots (fresh optimizer entries)
         def zero_changed(x):
             mask = changed.reshape((-1,) + (1,) * (x.ndim - 1))

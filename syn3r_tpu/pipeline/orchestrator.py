@@ -29,7 +29,8 @@ import numpy as np
 
 from ..gs.trainer import GSTrainer
 from ..utils.camera import Camera, make_camera
-from ..utils.image import resize_bilinear, resize_nearest
+from ..utils.image import (resize_bilinear, resize_cubic_antialiased,
+                           resize_nearest)
 from ..utils.profiling import PhaseTimer
 from . import completion as C
 
@@ -54,7 +55,6 @@ class DiffusionGSConfig:
     num_inference_steps: int = 100
     refine_cycle_num: int = 2
     cam_confidence: float = 0.05
-    refine_epoch: int = 1
     disable_densification: bool = False
     pseudo_cam_sampling_rate: float = 0.02
     perturb_interp_poses: bool = True
@@ -238,10 +238,12 @@ class DiffusionGS:
             if cfg.replace_endpoints:
                 frames = frames.at[0].set(cond.image_start)
                 frames = frames.at[-1].set(cond.image_end)
-            # resize to GS training resolution (reference :915-917)
+            # resize to GS training resolution with PIL's default filter —
+            # antialiased bicubic (reference :915-917 resizes via
+            # PIL.Image.resize with no explicit resample)
             frames = jax.vmap(
-                lambda f: resize_bilinear(f, self.gs_height, self.gs_width,
-                                          antialias=False))(frames)
+                lambda f: resize_cubic_antialiased(f, self.gs_height,
+                                                   self.gs_width))(frames)
             np.savez(cache, frames=np.asarray(frames),
                      poses=np.asarray(poses_j))
             results[pi] = (frames, poses_j)
@@ -355,9 +357,17 @@ class DiffusionGS:
             lambda f: resize_bilinear(f, h512, 512, antialias=True))(
                 jnp.asarray(flat_frames))
         xyz, rgb = self.dust3r_fn(frames512, c2w, K512)
+        # uniform downsample to ~100k points then statistical outlier
+        # removal, matching the reference post-process exactly
+        # (diffusionGS.py:323-327: uniform_down_sample(every_k=N//100000)
+        # + remove_statistical_outlier(nb_neighbors=20, std_ratio=3.0)) —
+        # without the cap the GS reset would ingest the full multi-
+        # million-point cloud and balloon the Gaussian capacity.
+        xyz, rgb = np.asarray(xyz), np.asarray(rgb)
+        every_k = max(1, len(xyz) // 100_000)
+        xyz, rgb = xyz[::every_k], rgb[::every_k]
         from ..cli.generate_pcd import remove_statistical_outliers
-        xyz, rgb = remove_statistical_outliers(np.asarray(xyz),
-                                               np.asarray(rgb))
+        xyz, rgb = remove_statistical_outliers(xyz, rgb, k=20, std_ratio=3.0)
         from ..utils.ply import write_ply_points
         write_ply_points(os.path.join(self.save_dir,
                                       f"dense_views_cyc{cycle}.ply"),

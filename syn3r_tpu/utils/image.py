@@ -112,6 +112,18 @@ def resize_bilinear(img: jnp.ndarray, out_h: int, out_w: int,
                             antialias=antialias)
 
 
+def resize_cubic_antialiased(img: jnp.ndarray, out_h: int,
+                             out_w: int) -> jnp.ndarray:
+    """Antialiased Keys-cubic resize — matches PIL ``Image.resize``'s
+    default filter for RGB images (Resampling.BICUBIC with the kernel
+    support scaled by the downscale factor), which the reference uses to
+    bring diffused frames back to the GS training resolution
+    (diffusionGS.py:915-917: ``fr.resize((gs_width, gs_height))`` with no
+    explicit resample)."""
+    return jax.image.resize(img, (out_h, out_w) + img.shape[2:], "cubic",
+                            antialias=True)
+
+
 def resize_nearest(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     """Nearest-neighbor resize (the reference upsizes the endpoint photos
     and depths to the diffusion resolution with cv2.INTER_NEAREST,

@@ -381,3 +381,54 @@ def test_mono_depth_pseudo_regularization(tmp_path):
     # pseudo cams synthesized between the 3 train cams (2 pairs x 3)
     assert tr._get_mono_pseudo_cams().K.shape[0] == 6
     assert not np.allclose(means_before, np.asarray(tr.state.gaussians.means))
+
+
+def test_proximity_unpooling_grows_midpoints():
+    # 4 sparse points, no gradient signal at all: the plain path grows
+    # nothing, the proximity path grows midpoints toward the 2 nearest
+    # neighbors of every under-reconstructed (sparse) Gaussian.
+    st = _simple_state(cap=16)
+    stats = DensifyStats.zeros(16)
+    plain, _ = densify_and_prune(st, stats, jax.random.PRNGKey(0),
+                                 extent=1.0, use_proximity=False)
+    assert int(plain.num_active) == 4
+    grown, changed = densify_and_prune(st, stats, jax.random.PRNGKey(0),
+                                       extent=1.0, use_proximity=True,
+                                       proximity_threshold=0.1)
+    # mean 3-NN distance of every point is ~0.5-0.8 > 0.1 * extent: each
+    # grows 2 midpoints -> 4 + 8 active
+    assert int(grown.num_active) == 12
+    # every new mean is the midpoint of two original points
+    means = np.asarray(st.means[:4])
+    mids = {tuple(np.round(0.5 * (means[i] + means[j]), 5))
+            for i in range(4) for j in range(4) if i != j}
+    new_means = np.asarray(grown.means)[np.asarray(changed)]
+    for m in new_means:
+        assert tuple(np.round(m, 5)) in mids
+    # raising the threshold above the scene scale disables growth
+    none, _ = densify_and_prune(st, stats, jax.random.PRNGKey(0),
+                                extent=1.0, use_proximity=True,
+                                proximity_threshold=10.0)
+    assert int(none.num_active) == 4
+
+
+def test_proximity_unpooling_averages_attributes():
+    st = _simple_state(cap=16)
+    # distinct colors so the midpoint average is checkable
+    dc = jnp.arange(4, dtype=jnp.float32)[:, None, None] * jnp.ones(
+        st.sh_dc[:4].shape[1:])
+    st = st.replace(sh_dc=st.sh_dc.at[:4].set(dc))
+    stats = DensifyStats.zeros(16)
+    grown, changed = densify_and_prune(st, stats, jax.random.PRNGKey(0),
+                                       extent=1.0, use_proximity=True,
+                                       proximity_threshold=0.1)
+    means = np.asarray(st.means[:4])
+    dcs = np.asarray(st.sh_dc[:4])
+    new_means = np.asarray(grown.means)[np.asarray(changed)]
+    new_dc = np.asarray(grown.sh_dc)[np.asarray(changed)]
+    for m, c in zip(new_means, new_dc):
+        pair = [(i, j) for i in range(4) for j in range(4) if i != j
+                if np.allclose(0.5 * (means[i] + means[j]), m, atol=1e-5)]
+        assert pair, f"midpoint {m} not from an original pair"
+        i, j = pair[0]
+        np.testing.assert_allclose(c, 0.5 * (dcs[i] + dcs[j]), atol=1e-5)
