@@ -44,6 +44,10 @@ echo "[battery] === unet component profile ===" >> "$LOG"
 timeout 3600 python scripts/profile_unet_step.py >> "$LOG" 2>&1
 echo "[battery] unet profile exit: $?" >> "$LOG"
 
+echo "[battery] === pallas kernel A/B (FFN x NORMS flags) ===" >> "$LOG"
+timeout 5400 python scripts/ab_flags.py >> "$LOG" 2>&1
+echo "[battery] ab exit: $?" >> "$LOG"
+
 echo "[battery] === LLFF protocol evidence run ===" >> "$LOG"
 PYTHONPATH=/root/repo timeout 3600 \
     python .claude/skills/verify/protocol_run.py >> "$LOG" 2>&1
