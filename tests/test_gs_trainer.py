@@ -432,3 +432,21 @@ def test_proximity_unpooling_averages_attributes():
         assert pair, f"midpoint {m} not from an original pair"
         i, j = pair[0]
         np.testing.assert_allclose(c, 0.5 * (dcs[i] + dcs[j]), atol=1e-5)
+
+
+def test_trainer_densify_with_proximity_compiles(tmp_path):
+    # the jitted _densify_step with use_proximity_densify=True (the fork's
+    # DTU-default path) must compile and grow actives on a sparse scene
+    gt, cams, imgs = _toy_scene()
+    views = make_viewset(cams, imgs)
+    init = G.from_points(gt.means[np.asarray(gt.active)][:8],
+                         jnp.full((8, 3), 0.5), capacity=64)
+    cfg = TrainConfig(iterations=120, densify_from_iter=50,
+                      densification_interval=50,
+                      opacity_reset_interval=10 ** 9, chunk=64, group=1,
+                      use_proximity_densify=True, proximity_threshold=1e-4)
+    tr = GSTrainer(views, cfg, init, model_path=str(tmp_path))
+    before = int(tr.state.gaussians.num_active)
+    tr.training(log_every=0)
+    after = int(tr.state.gaussians.num_active)
+    assert after > before, (before, after)
