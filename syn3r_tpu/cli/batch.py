@@ -116,12 +116,27 @@ def main(argv=None):
                            + list(args.extra))
 
     if args.eval:
+        import glob
+
         from . import metrics as metrics_cli
         from . import render as render_cli
         for scene in scenes:
             src, out = scene_paths(scene)
             if not os.path.exists(os.path.join(out, "eval_res.txt")):
-                render_cli.main(["-s", src, "-m", out])
+                # render EVERY checkpoint (init + each refine epoch) like
+                # the reference eval loop (batch_llff_eval.sh:25-28 —
+                # ``for chkpt in $(ls | grep chkpnt)``) so the summary
+                # compares stages, not just the final one
+                ckpts = sorted(
+                    glob.glob(os.path.join(out, "chkpnt*.npz"))
+                    + glob.glob(os.path.join(out, "refine_*_chkpnt*.npz")))
+                ckpts = [c for c in ckpts
+                         if not c.endswith("chkpnt_latest.npz")]
+                for c in ckpts or [None]:
+                    cargs = ["-s", src, "-m", out]
+                    if c:
+                        cargs += ["--checkpoint", c]
+                    render_cli.main(cargs)
                 metrics_cli.main(["-m", out])
         from .summarize import summarize
         print(summarize(args.out_root))

@@ -194,3 +194,37 @@ def test_batch_fleet_parallel(tmp_path):
         assert os.path.exists(
             os.path.join(out_root, name, "chkpnt_latest.npz")), name
         assert os.path.exists(os.path.join(out_root, name, "log.txt"))
+
+
+def test_batch_eval_renders_every_checkpoint(tmp_path, monkeypatch):
+    """The eval loop must render EVERY checkpoint (init + each refine
+    epoch, not chkpnt_latest) like the reference's
+    ``for chkpt in $(ls | grep chkpnt)`` (batch_llff_eval.sh:25-28)."""
+    from syn3r_tpu.cli import batch as batch_cli
+
+    data_root = tmp_path / "data"
+    out_root = tmp_path / "out"
+    os.makedirs(data_root / "toy")
+    out = out_root / "toy"
+    os.makedirs(out)
+    for n in ("chkpnt10000.npz", "refine_0_chkpnt10000.npz",
+              "refine_1_chkpnt10000.npz", "chkpnt_latest.npz"):
+        (out / n).touch()
+
+    render_calls, metrics_calls = [], []
+    monkeypatch.setattr("syn3r_tpu.cli.render.main",
+                        lambda argv: render_calls.append(argv))
+    monkeypatch.setattr("syn3r_tpu.cli.metrics.main",
+                        lambda argv: metrics_calls.append(argv))
+    monkeypatch.setattr("syn3r_tpu.cli.summarize.summarize",
+                        lambda root: "stub")
+
+    batch_cli.main(["--dataset", "llff", "--data_root", str(data_root),
+                    "--out_root", str(out_root), "--scenes", "toy",
+                    "--eval"])
+
+    ckpts = [a[a.index("--checkpoint") + 1] for a in render_calls]
+    names = sorted(os.path.basename(c) for c in ckpts)
+    assert names == ["chkpnt10000.npz", "refine_0_chkpnt10000.npz",
+                     "refine_1_chkpnt10000.npz"]
+    assert len(metrics_calls) == 1
