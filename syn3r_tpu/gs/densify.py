@@ -64,6 +64,8 @@ def densify_and_prune(state: GaussianState, stats: DensifyStats,
                       percent_dense: float = 0.01, extent: float = 1.0,
                       min_opacity: float = 0.005,
                       max_world_scale: float | None = None,
+                      max_screen_size: float | None = None,
+                      big_point_gate=True,
                       split_factor: float = 1.6,
                       use_proximity: bool = False,
                       proximity_k: int = 3,
@@ -98,8 +100,19 @@ def densify_and_prune(state: GaussianState, stats: DensifyStats,
 
     opacity = jax.nn.sigmoid(state.opacity_logits[:, 0])
     keep = state.active & (opacity > min_opacity) & ~split
+    # big-point prune — the 3DGS recipe prunes Gaussians that grew too
+    # large in SCREEN space (max seen radius > max_screen_size px, the
+    # CUDA trainer's max_radii2D > 20) or in WORLD space
+    # (> max_world_scale * extent), and only once training passes the
+    # first opacity reset (the trainer's ``size_threshold = 20 if
+    # iteration > opacity_reset_interval else None`` gate) —
+    # ``big_point_gate`` carries that condition (traced or static).
+    big = jnp.zeros((cap,), bool)
     if max_world_scale is not None:
-        keep = keep & (scale_max < max_world_scale * extent)
+        big = big | (scale_max > max_world_scale * extent)
+    if max_screen_size is not None:
+        big = big | (stats.max_radii > max_screen_size)
+    keep = keep & ~(jnp.asarray(big_point_gate) & big)
 
     # --- candidate construction ------------------------------------------
     # clones: verbatim copies. splits: two resamples from the Gaussian.
@@ -129,6 +142,7 @@ def densify_and_prune(state: GaussianState, stats: DensifyStats,
     cand_valid = jnp.concatenate([clone, split, split], axis=0)  # (3cap,)
 
     if use_proximity:
+        assert proximity_k >= 2, "midpoint growth needs >= 2 neighbors"
         from ..ops.knn import knn_with_indices
         d2, nbr, nbr_ok = knn_with_indices(state.means, k=proximity_k,
                                            valid=state.active)

@@ -74,6 +74,10 @@ class TrainConfig:
     percent_dense: float = 0.01
     min_opacity: float = 0.005
     max_world_scale: Optional[float] = 0.1
+    # screen-space big-point prune threshold in pixels (CUDA 3DGS's
+    # max_radii2D > 20); both it and the world-scale prune engage only
+    # after the first opacity reset (the trainer's size_threshold gate)
+    max_screen_size: Optional[float] = 20.0
     capacity_growth_occupancy: float = 0.85
     # FSGS proximity-guided Gaussian unpooling (the fork's
     # --use_proximity_densify; semantics reconstructed from the FSGS paper
@@ -473,6 +477,8 @@ class GSTrainer:
             percent_dense=cfg.percent_dense, extent=self.extent,
             min_opacity=cfg.min_opacity,
             max_world_scale=cfg.max_world_scale,
+            max_screen_size=cfg.max_screen_size,
+            big_point_gate=ts.step > cfg.opacity_reset_interval,
             use_proximity=cfg.use_proximity_densify,
             proximity_threshold=cfg.proximity_threshold)
         # zero Adam moments of rewritten slots (fresh optimizer entries)

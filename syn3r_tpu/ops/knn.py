@@ -28,69 +28,29 @@ def _pad_to(x: jnp.ndarray, n: int, value: float) -> jnp.ndarray:
         [x, jnp.full((pad,) + x.shape[1:], value, x.dtype)], axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "query_block", "db_chunk"))
 def knn_sq_dists(points: jnp.ndarray, k: int = 3, query_block: int = 1024,
                  db_chunk: int = 4096,
                  valid: jnp.ndarray | None = None) -> jnp.ndarray:
     """Squared distances to the k nearest neighbors (self excluded).
 
     points: (N, 3) float32. valid: optional (N,) bool — invalid points are
-    excluded as neighbors and get zero outputs. Returns (N, k) float32.
+    excluded as neighbors and get zero outputs (slots beyond the number of
+    real neighbors are zero too — use :func:`knn_with_indices` when you
+    need to tell the two apart). Returns (N, k) float32.
     """
-    n = points.shape[0]
-    if valid is None:
-        valid = jnp.ones((n,), bool)
-    nq = -(-n // query_block) * query_block
-    nd = -(-n // db_chunk) * db_chunk
-    # Pad database with far-away sentinels so padded entries never win.
-    big = 3.0e37
-    db = _pad_to(points, nd, 0.0)
-    db_valid = _pad_to(valid, nd, False)
-    q = _pad_to(points, nq, 0.0)
-    q_idx = jnp.arange(nq)
-    db_sq = jnp.sum(db * db, axis=-1)
-
-    db_c = db.reshape(-1, db_chunk, 3)
-    db_sq_c = db_sq.reshape(-1, db_chunk)
-    db_valid_c = db_valid.reshape(-1, db_chunk)
-
-    def per_query_block(qb, qb_idx):
-        q_sq = jnp.sum(qb * qb, axis=-1, keepdims=True)    # (B, 1)
-
-        def scan_chunk(best, chunk):
-            pts, sq, vld, base = chunk
-            cross = jnp.dot(qb, pts.T, preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
-            d = q_sq + sq[None, :] - 2.0 * cross           # (B, C)
-            # mask self-pairs and invalid db points
-            col_idx = base + jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
-            is_self = col_idx == qb_idx[:, None]
-            d = jnp.where(is_self | ~vld[None, :], big, jnp.maximum(d, 0.0))
-            topc = -jax.lax.top_k(-d, k)[0]                # (B, k) smallest
-            merged = jnp.sort(
-                jnp.concatenate([best, topc], axis=-1), axis=-1)[:, :k]
-            return merged, None
-
-        n_chunks = db_c.shape[0]
-        bases = jnp.arange(n_chunks, dtype=jnp.int32) * db_chunk
-        init = jnp.full((qb.shape[0], k), big, jnp.float32)
-        best, _ = jax.lax.scan(scan_chunk, init,
-                               (db_c, db_sq_c, db_valid_c, bases))
-        return best
-
-    q_blocks = q.reshape(-1, query_block, 3)
-    qi_blocks = q_idx.reshape(-1, query_block)
-    out = jax.lax.map(lambda ab: per_query_block(*ab), (q_blocks, qi_blocks))
-    out = out.reshape(nq, k)[:n]
-    out = jnp.where(out >= big * 0.5, 0.0, out)  # fewer than k valid nbrs
-    return jnp.where(valid[:, None], out, 0.0)
+    return knn_with_indices(points, k=k, query_block=query_block,
+                            db_chunk=db_chunk, valid=valid)[0]
 
 
 def knn_mean_sq_dist(points: jnp.ndarray, k: int = 3,
                      valid: jnp.ndarray | None = None) -> jnp.ndarray:
-    """Mean squared distance to the k nearest neighbors — the simple-knn
-    quantity 3DGS uses for log-scale init (scale = log(sqrt(mean)))."""
-    return knn_sq_dists(points, k=k, valid=valid).mean(axis=-1)
+    """Mean squared distance to the (up to) k nearest neighbors — the
+    simple-knn quantity 3DGS uses for log-scale init
+    (scale = log(sqrt(mean))). The mean divides by the number of REAL
+    neighbors, so clouds smaller than k+1 points don't get their scales
+    silently deflated by zero-filled missing-neighbor slots."""
+    d, _, ok = knn_with_indices(points, k=k, valid=valid)
+    return d.sum(axis=-1) / jnp.maximum(ok.sum(axis=-1), 1)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "query_block", "db_chunk"))

@@ -450,3 +450,25 @@ def test_trainer_densify_with_proximity_compiles(tmp_path):
     tr.training(log_every=0)
     after = int(tr.state.gaussians.num_active)
     assert after > before, (before, after)
+
+
+def test_big_point_prune_gated_on_opacity_reset():
+    # 3DGS semantics: screen-size (max_radii2D > 20) and world-scale
+    # (> 0.1 * extent) prunes engage ONLY after the first opacity reset
+    # (the trainer's size_threshold gate).
+    st = _simple_state(cap=8)
+    st = st.replace(log_scales=st.log_scales.at[0].set(jnp.log(5.0)))
+    stats = DensifyStats(grad_accum=jnp.zeros((8,)), denom=jnp.ones((8,)),
+                         max_radii=jnp.zeros((8,)).at[1].set(50.0))
+    # gate closed (early training): nothing pruned despite huge scale/radius
+    early, _ = densify_and_prune(st, stats, jax.random.PRNGKey(0),
+                                 extent=10.0, max_world_scale=0.1,
+                                 max_screen_size=20.0, big_point_gate=False)
+    assert int(early.num_active) == 4
+    # gate open: gaussian 0 (world-huge) and 1 (screen-huge) pruned
+    late, _ = densify_and_prune(st, stats, jax.random.PRNGKey(0),
+                                extent=10.0, max_world_scale=0.1,
+                                max_screen_size=20.0, big_point_gate=True)
+    assert int(late.num_active) == 2
+    assert not bool(late.active[0]) and not bool(late.active[1])
+    assert bool(late.active[2]) and bool(late.active[3])
