@@ -385,7 +385,20 @@ def bench_gs_step():
                                    use_lpips=False, use_depth=False)
         return new_ts
 
-    return _chain_time(step, tr.state, iters=10)
+    train_dt = _chain_time(step, tr.state, iters=10)
+
+    # pure render throughput (BASELINE.md north star "3DGS rendered
+    # frames/sec"): forward-only render_view at the same scene scale,
+    # chained through the gaussian means so the queue can't pipeline it
+    # into a lie
+    import jax
+
+    def render_once(g):
+        out = tr._render_jit(g, cam0)
+        return g.replace(means=g.means + 0.0 * out.rgb.mean())
+
+    render_dt = _chain_time(render_once, tr.state.gaussians, iters=20)
+    return train_dt, render_dt
 
 
 def main():
@@ -410,7 +423,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     dt_guided, dt_reuse, dt_fwd, mfu, _, _ = bench_guided_denoise()
     pair_s, enc_s, dec_s = bench_completion_pair(dt_guided)
-    gs_dt = bench_gs_step()
+    gs_dt, gs_render_dt = bench_gs_step()
     result = ({
         "metric": "guided_denoise_steps_per_sec",
         "value": round(1.0 / dt_guided, 3),
@@ -427,6 +440,7 @@ def main():
             "unet_cfg_fwd_ms": round(dt_fwd * 1e3, 1),
             "unet_fwd_mfu_pct": round(mfu, 1),
             "gs_train_step_ms": round(gs_dt * 1e3, 1),
+            "gs_render_fps": round(1.0 / gs_render_dt, 1),
         },
     })
     _emit(result)
