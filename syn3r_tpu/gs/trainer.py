@@ -712,6 +712,29 @@ class GSTrainer:
                          method=self.cfg.rasterizer,
                          tile_cap=self.cfg.tile_cap)
 
+    def render_views_batch(self, cameras: Camera):
+        """Render a BATCHED Camera pytree (leading axis on K/w2c/confidence,
+        shared static width/height) in ONE dispatch — a ``lax.scan`` over
+        cameras inside one jit, so P renders cost one host->device
+        roundtrip instead of P (the axon remote runtime charges ~10ms+
+        per dispatch; the orchestrator's densify phase issues hundreds).
+        Sequential on device, so peak memory stays single-render.
+        Returns (rgb (P, H, W, 3), depth (P, H, W)) with the same
+        alpha-normalized depth as render_view."""
+        return self._render_many_jit(self.state.gaussians, cameras)
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _render_many_jit(self, g: G.GaussianState, cameras: Camera):
+        def one(_, cam):
+            out = self._render_jit(g, cam)  # nested jit inlines under trace
+            alpha = out.alpha
+            depth = jnp.where(alpha > 1e-6,
+                              out.depth / jnp.maximum(alpha, 1e-6), 0.0)
+            return None, (out.rgb, depth)
+
+        _, (rgb, depth) = jax.lax.scan(one, None, cameras)
+        return rgb, depth
+
     def set_lpips(self, params: dict):
         """Install converted LPIPS (VGG) params — see models/lpips.py.
         The loss itself is gated by ``use_lpips_loss`` (toggled by the

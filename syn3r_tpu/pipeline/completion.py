@@ -91,7 +91,8 @@ def prepare_pair_conditioning(
         image_r: jnp.ndarray, depth_r: jnp.ndarray,
         num_steps: int = 100,
         latent_downsample: int = 8,
-        warp_mode: str = "backward_warp") -> PairConditioning:
+        warp_mode: str = "backward_warp",
+        render_many_fn=None) -> PairConditioning:
     """Build SVD conditioning for one endpoint pair.
 
     render_fn(pose 4x4 w2c) -> (rgb (H, W, 3), depth (H, W)) — the GS render
@@ -113,6 +114,21 @@ def prepare_pair_conditioning(
     f = poses.shape[0]
     h, w = image_l.shape[:2]
     lh, lw = h // latent_downsample, w // latent_downsample
+
+    if warp_mode == "backward_warp" and render_many_fn is not None:
+        # batched path: ONE render dispatch for all interior poses + ONE
+        # conditioning dispatch (lax.map) — vs 2 per frame; same math
+        interior = poses[1:-1]
+        rendered, rendered_depth = render_many_fn(interior)
+        use_left = (jnp.arange(1, f - 1) - 1) < 12
+        cond_images, masks = _frame_conditioning_batch(
+            jnp.stack([image_l, image_r]), jnp.stack([depth_l, depth_r]),
+            jnp.stack([poses[0], poses[-1]]), use_left,
+            rendered, rendered_depth, interior, K, lh, lw)
+        lam = search_hypers_v2(masks, num_steps=num_steps)
+        return PairConditioning(image_start=image_l, image_end=image_r,
+                                cond_images=cond_images, masks=masks,
+                                lambda_ts=lam)
 
     conds, masks = [], []
     for i in range(1, f - 1):
@@ -162,6 +178,23 @@ def _frame_conditioning(src_img, src_depth, rendered, rendered_depth,
     mask_lat = downsample_mask_to_latent(uncert[..., 0], lh, lw)
     cond = jnp.where(uncert > 0.5, rendered, warped)
     return jnp.clip(cond, 0.0, 1.0), mask_lat
+
+
+@functools.partial(jax.jit, static_argnames=("lh", "lw"))
+def _frame_conditioning_batch(src_imgs, src_depths, src_poses, use_left,
+                              rendered, rendered_depth, poses, K,
+                              lh: int, lw: int):
+    """All interior frames' backward-warp conditioning in ONE dispatch —
+    a lax.map over frames, each selecting its endpoint source (left for
+    interior index < 12, right otherwise) by dynamic index. Sequential on
+    device: single-frame peak memory, one host roundtrip."""
+    def one(args):
+        ul, rend, rend_d, pose = args
+        idx = jnp.where(ul, 0, 1)
+        return _frame_conditioning(src_imgs[idx], src_depths[idx], rend,
+                                   rend_d, src_poses[idx], pose, K, lh, lw)
+
+    return jax.lax.map(one, (use_left, rendered, rendered_depth, poses))
 
 
 @functools.partial(jax.jit, static_argnames=("lh", "lw"))
@@ -247,22 +280,27 @@ def perturb_and_select_poses(
         render_fn, K: jnp.ndarray, anchor_poses: np.ndarray,
         ref_poses: Sequence[np.ndarray], rng: np.random.Generator,
         perturb_num: int = 5, trans_frac: float = 0.1,
-        rot_std_deg: float = 0.1) -> np.ndarray:
+        rot_std_deg: float = 0.1, render_many_fn=None) -> np.ndarray:
     """Jitter each anchor pose and keep the candidate whose backward warp
     from the nearest reference view is MOST uncertain — probing where the
-    model needs completion (reference :653-766)."""
+    model needs completion (reference :653-766).
+
+    ``render_many_fn(poses (P, 4, 4)) -> (rgbs, depths)``, when given,
+    renders ALL candidates in one dispatch and scores them in a second —
+    2 host->device roundtrips instead of 2 x anchors x (1 + perturb_num)
+    (~138 per pair on the remote runtime). Candidate construction and
+    selection are identical either way (same rng draw order), so the two
+    paths pick the same poses."""
     anchors = np.asarray(anchor_poses)
     trans = anchors[:, :3, 3]
     dists = np.linalg.norm(trans[:, None] - trans[None], axis=-1)
     np.fill_diagonal(dists, dists.max() if len(anchors) > 1 else 1.0)
     nn_dist = dists.min(axis=1)
-
-    ref_renders = [render_fn(jnp.asarray(p)) for p in ref_poses]
     ref_pts = np.asarray([p[:3, 3] for p in ref_poses])
 
-    out = []
+    candidates = []                                  # (A, C) host list
     for i, pose in enumerate(anchors):
-        candidates = [pose.astype(np.float32)]
+        cands_i = [pose.astype(np.float32)]
         for _ in range(perturb_num):
             p = pose.copy()
             p[:3, 3] += rng.normal(0, nn_dist[i] * trans_frac, 3)
@@ -274,11 +312,32 @@ def perturb_and_select_poses(
             ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
             rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
             p[:3, :3] = (rz @ ry @ rx) @ pose[:3, :3]
-            candidates.append(p.astype(np.float32))
+            cands_i.append(p.astype(np.float32))
+        candidates.append(cands_i)
 
+    a, c = len(candidates), 1 + perturb_num
+    nn_idx = np.array([[int(np.linalg.norm(ref_pts - cand[:3, 3],
+                                           axis=1).argmin())
+                        for cand in cands_i] for cands_i in candidates])
+
+    if render_many_fn is not None:
+        flat = jnp.asarray(np.stack([q for ci in candidates for q in ci]))
+        ref_stack = jnp.asarray(np.stack(ref_poses, dtype=np.float32))
+        ref_imgs, ref_depths = render_many_fn(ref_stack)
+        _, cand_depths = render_many_fn(flat)
+        scores = np.asarray(_warp_uncertainty_batch(
+            ref_imgs, ref_depths, ref_stack,
+            jnp.asarray(nn_idx.reshape(-1)), cand_depths, flat,
+            K)).reshape(a, c)
+        sel = scores.argmax(axis=1)
+        return np.stack([candidates[i][int(sel[i])] for i in range(a)])
+
+    ref_renders = [render_fn(jnp.asarray(p)) for p in ref_poses]
+    out = []
+    for i, cands_i in enumerate(candidates):
         scores = []
-        for cand in candidates:
-            nn = int(np.linalg.norm(ref_pts - cand[:3, 3], axis=1).argmin())
+        for j, cand in enumerate(cands_i):
+            nn = int(nn_idx[i, j])
             ref_img, ref_depth = ref_renders[nn]
             _, cand_depth = render_fn(jnp.asarray(cand))
             scores.append(_warp_uncertainty(ref_img, ref_depth, cand_depth,
@@ -286,7 +345,7 @@ def perturb_and_select_poses(
                                             jnp.asarray(cand), K))
         # one host transfer for all candidates (a float() per candidate
         # serialized the device against the host pose loop)
-        out.append(candidates[int(np.argmax(np.asarray(scores)))])
+        out.append(cands_i[int(np.argmax(np.asarray(scores)))])
     return np.stack(out)
 
 
@@ -299,3 +358,17 @@ def _warp_uncertainty(ref_img, ref_depth, cand_depth, ref_pose, cand_pose,
     wres = inverse_warp(ref_img, ref_depth, cand_depth, ref_pose,
                         cand_pose, K)
     return (1.0 - wres.soft_mask_reproj).mean()
+
+
+@jax.jit
+def _warp_uncertainty_batch(ref_imgs, ref_depths, ref_poses, nn_idx,
+                            cand_depths, cand_poses, K):
+    """All candidates' warp uncertainties in ONE dispatch: a lax.map over
+    candidates, each gathering its nearest reference render by index.
+    Sequential on device (single-warp peak memory), one host roundtrip."""
+    def one(args):
+        nn, cand_depth, cand_pose = args
+        return _warp_uncertainty(ref_imgs[nn], ref_depths[nn], cand_depth,
+                                 ref_poses[nn], cand_pose, K)
+
+    return jax.lax.map(one, (nn_idx, cand_depths, cand_poses))

@@ -159,6 +159,19 @@ class DiffusionGS:
         out = self.trainer.render_view(cam)
         return out["render"], out["depth"]
 
+    def render_many_diffusion_res(self, poses: jnp.ndarray):
+        """Render a (P, 4, 4) pose batch at the diffusion resolution in
+        ONE dispatch (GSTrainer.render_views_batch) — the densify phase's
+        pose probing + conditioning otherwise issue ~180 sequential
+        host->device roundtrips per pair."""
+        cfg = self.cfg
+        p = poses.shape[0]
+        cams = Camera(K=jnp.broadcast_to(self.diffusion_K, (p, 3, 3)),
+                      w2c=jnp.asarray(poses, jnp.float32),
+                      confidence=jnp.ones((p,), jnp.float32),
+                      width=cfg.diffusion_width, height=cfg.diffusion_height)
+        return self.trainer.render_views_batch(cams)
+
     def _ordered_train_indices(self) -> list[int]:
         if not self.cfg.reorg_train_views:
             return list(range(self.trainer.train_views.images.shape[0]))
@@ -205,7 +218,8 @@ class DiffusionGS:
             if cfg.perturb_interp_poses and cfg.num_frames > 2:
                 interior = C.perturb_and_select_poses(
                     self.render_diffusion_res, self.diffusion_K,
-                    poses[1:-1], [pose_l, pose_r], self._rng)
+                    poses[1:-1], [pose_l, pose_r], self._rng,
+                    render_many_fn=self.render_many_diffusion_res)
                 poses = np.concatenate([poses[:1], interior, poses[-1:]])
             poses_j = jnp.asarray(poses)
 
@@ -227,7 +241,8 @@ class DiffusionGS:
                 self.render_diffusion_res, self.diffusion_K, poses_j,
                 img_l, depth_l, img_r, depth_r,
                 num_steps=cfg.num_inference_steps,
-                warp_mode=cfg.interp_type)
+                warp_mode=cfg.interp_type,
+                render_many_fn=self.render_many_diffusion_res)
             pending.append((pi, cache, cond, poses_j))
 
         # phase 2: completion + post-process. Sequential mode streams

@@ -318,3 +318,85 @@ def test_pair_parallel_densify_matches_sequential(tmp_path):
     # caches written for the parallel path too; reload hits them
     f2, _ = run("par", pair_parallel=True)
     np.testing.assert_allclose(np.asarray(f2), np.asarray(f_par), atol=0)
+
+
+def _toy_render_fns():
+    cams, imgs, xyz = _scene()
+    gt = G.from_points(jnp.asarray(xyz),
+                       jnp.asarray(np.full_like(xyz, 0.5)), capacity=128)
+    from syn3r_tpu.utils.camera import make_camera
+
+    def render_fn(pose):
+        cam = make_camera(np.asarray(cams[0].K), pose, 64, 48)
+        out = render(gt, cam, chunk=64, group=1)
+        alpha = out.alpha
+        depth = jnp.where(alpha > 1e-6, out.depth / jnp.maximum(alpha, 1e-6),
+                          0.0)
+        return out.rgb, depth
+
+    def render_many_fn(poses):
+        rgbs, depths = [], []
+        for q in poses:
+            r, d = render_fn(q)
+            rgbs.append(r)
+            depths.append(d)
+        return jnp.stack(rgbs), jnp.stack(depths)
+
+    return cams, render_fn, render_many_fn
+
+
+def test_conditioning_batched_matches_sequential():
+    cams, render_fn, render_many_fn = _toy_render_fns()
+    poses = C.interpolate_pair_poses(np.asarray(cams[0].w2c),
+                                     np.asarray(cams[1].w2c), 9)
+    img_l, depth_l = render_fn(jnp.asarray(poses[0]))
+    img_r, depth_r = render_fn(jnp.asarray(poses[-1]))
+    seq = C.prepare_pair_conditioning(render_fn, cams[0].K,
+                                      jnp.asarray(poses), img_l, depth_l,
+                                      img_r, depth_r, num_steps=10)
+    bat = C.prepare_pair_conditioning(render_fn, cams[0].K,
+                                      jnp.asarray(poses), img_l, depth_l,
+                                      img_r, depth_r, num_steps=10,
+                                      render_many_fn=render_many_fn)
+    np.testing.assert_allclose(np.asarray(bat.cond_images),
+                               np.asarray(seq.cond_images), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(bat.masks),
+                               np.asarray(seq.masks), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(bat.lambda_ts),
+                               np.asarray(seq.lambda_ts))
+
+
+def test_perturb_batched_matches_sequential():
+    cams, render_fn, render_many_fn = _toy_render_fns()
+    poses = C.interpolate_pair_poses(np.asarray(cams[0].w2c),
+                                     np.asarray(cams[1].w2c), 6)
+    refs = [poses[0], poses[-1]]
+    seq = C.perturb_and_select_poses(
+        render_fn, cams[0].K, poses[1:-1], refs,
+        np.random.default_rng(7), perturb_num=3)
+    bat = C.perturb_and_select_poses(
+        render_fn, cams[0].K, poses[1:-1], refs,
+        np.random.default_rng(7), perturb_num=3,
+        render_many_fn=render_many_fn)
+    np.testing.assert_allclose(bat, seq, atol=0)
+
+
+def test_trainer_render_views_batch_matches_render_view():
+    from syn3r_tpu.utils.camera import Camera
+    cams, imgs, xyz = _scene()
+    views = make_viewset(cams, imgs)
+    init = G.from_points(jnp.asarray(xyz),
+                         jnp.asarray(np.full_like(xyz, 0.5)), capacity=128)
+    tr = GSTrainer(views, TrainConfig(rasterizer="dense", chunk=64, group=1),
+                   init, model_path="/tmp/gs_batch_render")
+    poses = jnp.stack([c.w2c for c in cams])
+    batched = Camera(K=jnp.stack([c.K for c in cams]), w2c=poses,
+                     confidence=jnp.ones((len(cams),)),
+                     width=cams[0].width, height=cams[0].height)
+    rgb_b, depth_b = tr.render_views_batch(batched)
+    for i, c in enumerate(cams):
+        out = tr.render_view(c)
+        np.testing.assert_allclose(np.asarray(rgb_b[i]),
+                                   np.asarray(out["render"]), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(depth_b[i]),
+                                   np.asarray(out["depth"]), atol=1e-6)
