@@ -397,6 +397,18 @@ class DiffusionGS:
         out = self.trainer.render_view(cam)
         return out["render"], out["depth"]
 
+    def render_many_gs_res(self, poses: jnp.ndarray):
+        """Render a (P, 4, 4) pose batch at the GS training resolution in
+        ONE dispatch (see render_many_diffusion_res)."""
+        K_gs = jax.tree.map(lambda x: x[0],
+                            self.trainer.train_views.cameras).K
+        p = poses.shape[0]
+        cams = Camera(K=jnp.broadcast_to(K_gs, (p, 3, 3)),
+                      w2c=jnp.asarray(poses, jnp.float32),
+                      confidence=jnp.ones((p,), jnp.float32),
+                      width=self.gs_width, height=self.gs_height)
+        return self.trainer.render_views_batch(cams)
+
     def _refine_view_stack(self, frames, poses):
         """Flatten (P, F, ...) pair stacks into the pseudo-view set refine
         trains on (reference densify_views :272-289): each pair contributes
@@ -430,11 +442,11 @@ class DiffusionGS:
                                        tr.train_views.cameras).K)
         depths = None
         if cfg.capture_pseudo_depth and tr.cfg.svd_depth_warmup > 0:
-            # collect device arrays and transfer once — a np.asarray per
-            # pose serializes the device against the host loop
-            depths = np.asarray(jnp.stack([
-                self.render_gs_res(jnp.asarray(q))[1]
-                for q in flat_poses]))
+            # all pseudo-pose depths in ONE dispatch + one transfer
+            # (a render + np.asarray per pose serialized the device
+            # against the host loop — ~72 roundtrips at LLFF shape)
+            depths = np.asarray(
+                self.render_many_gs_res(jnp.asarray(flat_poses))[1])
         tr.update_cameras(flat_frames, flat_poses, K_gs,
                           cam_confidences=cfg.cam_confidence, append=False,
                           depths=depths)
