@@ -62,6 +62,21 @@ PRESETS = {
 LLFF_SCENES = ["fern", "flower", "fortress", "horns", "leaves", "orchids",
                "room", "trex"]
 
+# the 10 DL3DV-10K scene hashes the reference evaluates on
+# (bash_scripts/batch_dl3dv_train.sh:30-41)
+DL3DV_SCENES = [
+    "03f5c560f5725ad6ca55fd7e6c0af4c4c7a7ca94c444a584f2a9f316d3b35ea2",
+    "25f7dbc10c0e2a9a8ffa33c35660d9090b6f7df6478653e351b3cb1195f7347b",
+    "6ed1058f96df97f1c8175739843cf0f272ce0c60c5727dbb010a3a0fac3ef10d",
+    "0850228cdbf7df721a10d73003db4b8d9d83e17c480b79a6d5d643eff6c8c163",
+    "0a78c25f77c1ba1d1a3f07c18c9735ae1254a9a71290734b8836eefbefaadbc7",
+    "51a802f3dc0268da35ad944e92cc7266fef00680816eb30d5847d5845b3e867a",
+    "87c8b2841c276f00d10c53c32ffe628fb26fa3d2cd3ab7bb577ff25d31ee5dbd",
+    "97f72cff0be96647eeb2fe17ac49752c739af5d1cda656b52e83917a4b2bc17d",
+    "9daa05c4182bb2ea065d280d4f510929d8e9c6d6e18a0782031c7c805cb822ec",
+    "9e4da70fe0be5d28ea7b375291bbf5523246345d807aa47d5208c6e6c2f5694c",
+]
+
 
 def main(argv=None):
     p = argparse.ArgumentParser("syn3r-tpu batch")
@@ -84,6 +99,11 @@ def main(argv=None):
     if not scenes:
         if args.dataset == "llff":
             scenes = [s for s in LLFF_SCENES
+                      if os.path.isdir(os.path.join(args.data_root, s))]
+        elif args.dataset == "dl3dv" and any(
+                os.path.isdir(os.path.join(args.data_root, s))
+                for s in DL3DV_SCENES):
+            scenes = [s for s in DL3DV_SCENES
                       if os.path.isdir(os.path.join(args.data_root, s))]
         else:
             scenes = sorted(d for d in os.listdir(args.data_root)
