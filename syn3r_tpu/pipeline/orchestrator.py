@@ -207,9 +207,16 @@ class DiffusionGS:
                 f"interpolated_dense_views_cyc{cycle}_view{pi}.npz")
             if os.path.exists(cache):
                 data = np.load(cache)
-                results[pi] = (jnp.asarray(data["frames"]),
-                               jnp.asarray(data["poses"]))
-                continue
+                expect = (cfg.num_frames, self.gs_height, self.gs_width, 3)
+                if data["frames"].shape == expect:
+                    results[pi] = (jnp.asarray(data["frames"]),
+                                   jnp.asarray(data["poses"]))
+                    continue
+                # stale cache from a different num_frames/resolution run
+                # (the reference would feed it through and crash later);
+                # recompute instead
+                print(f"[densify] ignoring stale cache {cache}: "
+                      f"{data['frames'].shape} != {expect}")
 
             i, j = order[pi], order[(pi + 1) % n]
             pose_l = np.asarray(cams.w2c[i])

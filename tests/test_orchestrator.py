@@ -400,3 +400,27 @@ def test_trainer_render_views_batch_matches_render_view():
                                    np.asarray(out["render"]), atol=1e-6)
         np.testing.assert_allclose(np.asarray(depth_b[i]),
                                    np.asarray(out["depth"]), atol=1e-6)
+
+
+def test_densify_cache_shape_guard(tmp_path):
+    # a cache written at a different num_frames must be recomputed, not fed
+    # through (stale-config resume)
+    cams, imgs, xyz = _scene()
+    views = make_viewset(cams, imgs)
+    init = G.from_points(jnp.asarray(xyz),
+                         jnp.asarray(np.full_like(xyz, 0.5)), capacity=128)
+    tr = GSTrainer(views, TrainConfig(iterations=5, chunk=64, group=1,
+                                      densify_from_iter=10 ** 9),
+                   init, model_path=str(tmp_path))
+    cfg = DiffusionGSConfig(num_frames=5, diffusion_width=64,
+                            diffusion_height=48, num_inference_steps=5,
+                            perturb_interp_poses=False)
+    dgs = DiffusionGS(tr, cfg, save_dir=str(tmp_path / "dense"))
+    dgs.init_GS(0)
+    # poison pair-0's cache with a wrong-shaped entry
+    bad = np.zeros((9, 48, 64, 3), np.float32)
+    np.savez(str(tmp_path / "dense" /
+                 "interpolated_dense_views_cyc0_view0.npz"),
+             frames=bad, poses=np.zeros((9, 4, 4), np.float32))
+    frames, poses = dgs.densify_views(0)
+    assert frames.shape[1] == 5                  # recomputed at num_frames=5
