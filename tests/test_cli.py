@@ -228,3 +228,33 @@ def test_batch_eval_renders_every_checkpoint(tmp_path, monkeypatch):
     assert names == ["chkpnt10000.npz", "refine_0_chkpnt10000.npz",
                      "refine_1_chkpnt10000.npz"]
     assert len(metrics_calls) == 1
+
+
+def test_metrics_masked_dtu_protocol(tmp_path):
+    """DTU masked evaluation: metrics must be computed over mask>0.5
+    pixels only (reference metrics_dtu.py protocol via copy_mask_dtu.sh
+    masks)."""
+    import numpy as np
+    from PIL import Image
+
+    from syn3r_tpu.cli.metrics import evaluate_dirs
+
+    rdir, gdir, mdir = (tmp_path / d for d in ("renders", "gt", "mask"))
+    for d in (rdir, gdir, mdir):
+        os.makedirs(d)
+    rng = np.random.default_rng(0)
+    g = rng.uniform(0, 1, (32, 32, 3)).astype(np.float32)
+    r = g.copy()
+    r[:16] = rng.uniform(0, 1, (16, 32, 3))   # corrupt the TOP half
+    mask = np.zeros((32, 32), np.uint8)
+    mask[16:] = 255                            # mask keeps the BOTTOM half
+    Image.fromarray((r * 255).astype(np.uint8)).save(rdir / "00000.png")
+    Image.fromarray((g * 255).astype(np.uint8)).save(gdir / "00000.png")
+    Image.fromarray(mask).save(mdir / "00000.png")
+
+    unmasked = evaluate_dirs(str(rdir), str(gdir))
+    masked = evaluate_dirs(str(rdir), str(gdir), masks_dir=str(mdir))
+    # inside the mask render == gt (up to 8-bit quantization): near-perfect
+    assert masked["PSNR"] > 45.0
+    assert unmasked["PSNR"] < 25.0
+    assert masked["SSIM"] > unmasked["SSIM"]
