@@ -47,12 +47,15 @@ def _drain(x):
     return float(jnp.sum(leaf.astype(jnp.float32).ravel()[:1]))
 
 
-def chain_time(step, x0, iters=8):
+def chain_time(step, p, x0, iters=8):
+    # params are a runtime ARGUMENT of the jitted step — closing over them
+    # bakes them into the jaxpr as constants, which the axon remote-compile
+    # transport rejects (HTTP 413) at real widths.
     def run(n):
         t0 = time.time()
         x = x0
         for _ in range(n):
-            x = step(x)
+            x = step(p, x)
         _drain(x)
         return time.time() - t0
 
@@ -69,11 +72,11 @@ def time_res(h, w, c):
     p = jax.jit(lambda k: mod.init(k, x, temb, F))(rng)
 
     @jax.jit
-    def step(x):
+    def step(p, x):
         y = mod.apply(p, x, temb, F)
         return y + 0 * x  # keep shapes chained
 
-    return chain_time(step, x)
+    return chain_time(step, p, x)
 
 
 def time_attn(h, w, c, heads):
@@ -83,10 +86,10 @@ def time_attn(h, w, c, heads):
     p = jax.jit(lambda k: mod.init(k, x, ctx, F, (1, 2)))(rng)
 
     @jax.jit
-    def step(x):
+    def step(p, x):
         return mod.apply(p, x, ctx, F, (1, 2))
 
-    return chain_time(step, x)
+    return chain_time(step, p, x)
 
 
 def time_full():
@@ -98,11 +101,14 @@ def time_full():
     p = jax.tree.map(lambda v: v.astype(DTYPE), p)
 
     @jax.jit
-    def step(x):
-        return unet.apply(p, x, 1.0, ehs, tids, batch_groups=(1, 2))
+    def step(p, x):
+        # the UNet returns 4 channels; re-append the conditioning half so
+        # the chained input keeps the 8-channel shape
+        y = unet.apply(p, x, 1.0, ehs, tids, batch_groups=(1, 2))
+        return jnp.concatenate([y, x[..., 4:]], axis=-1)
 
     x0 = jax.random.normal(rng, (B, F, 72, 128, 8), DTYPE)
-    return chain_time(step, x0, iters=4)
+    return chain_time(step, p, x0, iters=4)
 
 
 def main():
@@ -130,6 +136,9 @@ def main():
             est += 1 * time_attn(h, w, c, 20)  # the mid attention
         total_est += est
         rows.append((name, t_res * 1e3, t_at * 1e3, n, est * 1e3))
+        # print incrementally so partial results survive a crash/timeout
+        print(f"[level done] {name}: res {t_res * 1e3:.2f} ms, "
+              f"attn {t_at * 1e3:.2f} ms", flush=True)
     t_full = time_full() if not TINY else total_est
     print(f"{'level':18s} {'res_ms':>7s} {'attn_ms':>8s} {'layers':>6s} "
           f"{'est_ms':>8s} {'share':>6s}")
