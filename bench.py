@@ -446,6 +446,25 @@ def main():
     dt_guided, dt_reuse, dt_fwd, mfu, _, _ = bench_guided_denoise()
     pair_s, enc_s, dec_s = bench_completion_pair(dt_guided)
     gs_dt, gs_render_dt = bench_gs_step()
+    # Per-scene LLFF envelope (the number BASELINE.md's >=3x target is
+    # judged against). Ours: 2 cycles x 3 wrap-around pairs x measured
+    # completion unit + 3 x 10k GS iters (init + 2 refines,
+    # diffusionGS.py:1668-1697, batch_llff_train.sh:39). Reference at
+    # MATCHED per-UNet-pass cost on this chip: per step and direction it
+    # runs 4 tile passes (40x72 latents = 0.3125 full-frame each, batch-1)
+    # + 1 full CFG pass (batch-2 = 2.0) = 3.25 full-frame batch-1
+    # fwd-equivalents (SVD_2pass_prob_uncertain_post.py:726-800) —
+    # CONSERVATIVE: the reference also backprops each tile through the
+    # UNet (loss.backward() to the input, :729-733), which this count
+    # treats as free; our fused batch-3 step is 3.0 fwd-equivalents with
+    # the closed-form grad instead. GS phases are charged identically on
+    # both sides (the reference's CUDA rasterizer is not measurable here).
+    fwd1 = dt_fwd / 2.0                      # batch-1 full-frame forward
+    pairs = 2 * 3
+    ref_pair_s = enc_s + 100 * 2 * 3.25 * fwd1 + dec_s
+    gs_total_s = 3 * 10_000 * gs_dt
+    scene_s = pairs * pair_s + gs_total_s
+    ref_scene_s = pairs * ref_pair_s + gs_total_s
     result = ({
         "metric": "guided_denoise_steps_per_sec",
         "value": round(1.0 / dt_guided, 3),
@@ -463,6 +482,11 @@ def main():
             "unet_fwd_mfu_pct": round(mfu, 1),
             "gs_train_step_ms": round(gs_dt * 1e3, 1),
             "gs_render_fps": round(1.0 / gs_render_dt, 1),
+            "llff_scene_est_s": round(scene_s, 1),
+            "llff_scene_est_min": round(scene_s / 60.0, 1),
+            "llff_ref_envelope_matched_s": round(ref_scene_s, 1),
+            "algorithmic_speedup_vs_ref_envelope": round(
+                ref_scene_s / scene_s, 2),
         },
     })
     _emit(result)

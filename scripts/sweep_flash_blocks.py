@@ -9,22 +9,23 @@ block_k) pairs that divide 9216 to find how much of the remaining 2.6x is
 block-shape. Also times the same shape through the newer splash-attention
 kernel (MaxText's production choice) for comparison.
 
-Respects the single-chip lock convention: don't run next to bench/battery.
+Takes the single-chip flock on /tmp/syn3r_tpu.lock at startup (same lock
+bench.py and the battery use), so it is safe to launch next to them — it
+just serializes.
 
-Status: not yet measured. Two attempts (2026-08-19) stalled in remote
-compile — the chip answers trivial matmuls in ~1.6 s, but a single flash
-BlockSizes variant at this shape did not finish compiling within 10 min
-through the tunnel (persistent cache misses on the batch-75 shape; round
-2's cached entry was batch-25). Run on a healthy/local chip; applying a
-winner is a one-line table in models/layers.py:_attention (block pick at
-sq==9216).
+Timing: N independent dispatches of the jitted fn on fixed inputs, one
+block_until_ready at the end, total/N. k and v are jit ARGUMENTS (not
+closed-over constants) so their handling is paid like production.
 """
-import itertools
+import fcntl
 import pathlib
 import sys
 import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+_lockf = open("/tmp/syn3r_tpu.lock", "w")
+fcntl.flock(_lockf, fcntl.LOCK_EX)
 
 import jax
 import jax.numpy as jnp
@@ -44,23 +45,22 @@ FLOPS = 2 * 2 * B * H * S * S * D   # qk + pv, 2 flops/MAC
 
 
 def _drain(x):
+    # host transfer of one element: the only reliable execution barrier on
+    # the remote 'axon' platform (block_until_ready returns immediately).
     return float(jnp.sum(x.astype(jnp.float32).ravel()[:1]))
 
 
-def timeit(fn, iters=4):
-    x = fn(q)
-    _drain(x)
-    t0 = time.time()
-    x = fn(q)
-    _drain(x)
-    t1 = time.time() - t0
-    t0 = time.time()
-    xx = q
-    for _ in range(iters):
-        xx = fn(xx)
-    _drain(xx)
-    t2 = time.time() - t0
-    return max(t2 - t1, 1e-9) / (iters - 1) if iters > 1 else t1
+def timeit(fn, iters=8):
+    _drain(fn(q, k, v))   # compile
+    _drain(fn(q, k, v))   # warm
+    t0 = time.perf_counter()
+    outs = [fn(q, k, v) for _ in range(iters)]
+    # one tiny reduce per output, one host transfer at the end: the device
+    # runs the 8 dispatches back-to-back, we pay a single RTT in the
+    # timed region.
+    total = sum(jnp.sum(o.astype(jnp.float32).ravel()[:1]) for o in outs)
+    float(total)
+    return (time.perf_counter() - t0) / iters
 
 
 def flash_with(bq, bk):
@@ -72,8 +72,8 @@ def flash_with(bq, bk):
                     block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq)
 
     @jax.jit
-    def fn(qq):
-        out = flash_attention(qq, k, v, sm_scale=0.125, block_sizes=bs)
+    def fn(qq, kk, vv):
+        out = flash_attention(qq, kk, vv, sm_scale=0.125, block_sizes=bs)
         return out.astype(DTYPE)
 
     return fn
@@ -87,7 +87,10 @@ def main():
     # production config (1024, 1024) measured 37 TF/s standalone in round
     # 2; this trims the grid to the plausible improvements only.
     combos = [(1024, 1024), (1536, 1536), (1536, 1024), (1024, 1536),
-              (768, 1536), (1536, 768)]
+              (768, 1536), (1536, 768),
+              # extreme aspect ratios, same ~9.4 MB logits-block cap
+              (2304, 1024), (1024, 2304), (3072, 768), (768, 3072),
+              (4608, 512), (512, 4608)]
     for bq, bk in combos:
         if S % bq or S % bk:
             continue
@@ -112,10 +115,10 @@ def main():
             mask=mask, head_shards=1, q_seq_shards=1)
 
         @jax.jit
-        def splash(qq):
+        def splash(qq, kk, vv):
             def one(qi, ki, vi):
                 return kernel(qi * 0.125, ki, vi)
-            return jax.vmap(one)(qq, k, v).astype(DTYPE)
+            return jax.vmap(one)(qq, kk, vv).astype(DTYPE)
 
         dt = timeit(splash)
         print(f"splash (default)   {dt * 1e3:7.2f} ms  "

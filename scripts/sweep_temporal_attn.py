@@ -12,18 +12,22 @@ feed. Candidates timed here at the production shape:
   C. plain per-head flash: (rows, 5, 25->128, 64) padded (26x logit
      waste but one kernel)
 
-Respects the single-chip lock convention.
+Takes the single-chip flock on /tmp/syn3r_tpu.lock at startup. Timing is
+N independent dispatches on fixed inputs / N; k and v are jit arguments
+so their pack/pad cost is measured like production pays it.
 
-Status: not yet measured — see sweep_flash_blocks.py for the remote-
-compile stall notes (2026-08-19); same applies here. Applying a winner
-means switching _attention_packed_heads (models/layers.py) to the
-winning strategy at the packed temporal shape.
+Applying a winner means switching _attention_packed_heads
+(models/layers.py) to the winning strategy at the packed temporal shape.
 """
+import fcntl
 import pathlib
 import sys
 import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+_lockf = open("/tmp/syn3r_tpu.lock", "w")
+fcntl.flock(_lockf, fcntl.LOCK_EX)
 
 import jax
 import jax.numpy as jnp
@@ -45,26 +49,24 @@ v = jax.random.normal(rng, (ROWS, H, F, D), DTYPE)
 
 
 def _drain(x):
+    # host transfer of one element: the only reliable execution barrier on
+    # the remote 'axon' platform (block_until_ready returns immediately).
     return float(jnp.sum(x.astype(jnp.float32).ravel()[:1]))
 
 
-def timeit(fn, iters=6):
-    x = fn(q)
-    _drain(x)
-    t0 = time.time()
-    _drain(fn(q))
-    t1 = time.time() - t0
-    t0 = time.time()
-    xx = q
-    for _ in range(iters):
-        xx = fn(xx)
-    _drain(xx)
-    t2 = time.time() - t0
-    return max(t2 - t1, 1e-9) / (iters - 1)
+def timeit(fn, iters=8):
+    _drain(fn(q, k, v))   # compile
+    _drain(fn(q, k, v))   # warm
+    t0 = time.perf_counter()
+    outs = [fn(q, k, v) for _ in range(iters)]
+    total = sum(jnp.sum(o.astype(jnp.float32).ravel()[:1]) for o in outs)
+    float(total)
+    return (time.perf_counter() - t0) / iters
 
 
-def baseline(qq):
-    return _attention_packed_heads(qq, k, v, SCALE).astype(DTYPE)
+@jax.jit
+def baseline(qq, kk, vv):
+    return _attention_packed_heads(qq, kk, vv, SCALE).astype(DTYPE)
 
 
 def packed_flash(block_b):
@@ -83,8 +85,8 @@ def packed_flash(block_b):
          jnp.zeros((p,), jnp.int32)]).astype(jnp.int32)
 
     @jax.jit
-    def fn(qq):
-        qp, kp, vp = pack(qq), pack(k), pack(v)
+    def fn(qq, kk, vv):
+        qp, kp, vp = pack(qq), pack(kk), pack(vv)
         seg = jnp.broadcast_to(seg_row[None], (ROWS, pad_to))
         b = pad_to
         bs = BlockSizes(block_q=b, block_k_major=b, block_k=b,
@@ -107,10 +109,10 @@ def perhead_flash(block_b):
     p = pad_to - F
 
     @jax.jit
-    def fn(qq):
+    def fn(qq, kk, vv):
         qp = jnp.pad(qq, ((0, 0), (0, 0), (0, p), (0, 0)))
-        kp = jnp.pad(k, ((0, 0), (0, 0), (0, p), (0, 0)))
-        vp = jnp.pad(v, ((0, 0), (0, 0), (0, p), (0, 0)))
+        kp = jnp.pad(kk, ((0, 0), (0, 0), (0, p), (0, 0)))
+        vp = jnp.pad(vv, ((0, 0), (0, 0), (0, p), (0, 0)))
         seg = jnp.broadcast_to(
             (jnp.arange(pad_to) < F).astype(jnp.int32)[None],
             (ROWS, pad_to))
@@ -132,7 +134,7 @@ def main():
     print("platform:", jax.devices()[0].platform, flush=True)
     dt = timeit(baseline)
     print(f"A baseline packed einsum        {dt * 1e3:7.2f} ms", flush=True)
-    for bb in (1, 2, 4, 8, 16):
+    for bb in (1, 4, 16):
         try:
             dt = timeit(packed_flash(bb))
             print(f"B packed flash block_b={bb:2d}      {dt * 1e3:7.2f} ms",
