@@ -186,10 +186,20 @@ def _attention(q, k, v, scale):
             and q.shape[3] <= 128):
         from jax.experimental.pallas.ops.tpu.flash_attention import (
             BlockSizes, flash_attention)
-        # measured on v5e at (25, 5, 9216, 64): default blocks 7.8 TF/s,
-        # 1024-cubed blocks 37 TF/s
+        # v5e sweep at the production (75, 5, 9216, 64) bf16 shape
+        # (scripts/sweep_flash_blocks.py, 2026-08-20): default blocks
+        # 7.8 TF/s; every >=768 block combo plateaus at 53-58 TF/s with
+        # (bq=1536, bk=1024) the repeat-measured best (58.1/57.6 vs
+        # 57.1/57.2 for 1024-cubed); bq>1536 fails to compile, splash
+        # 6.9 TF/s. The remaining gap to the ~98 TF/s d=64 ceiling is
+        # intrinsic to the kernel at this head dim, not block shape.
+        bq = 1536 if sq % 1536 == 0 else block
+        bk = block
+        # backward (dkv/dq) blocks stay at the proven cube: the sweep
+        # timed the forward only, and the backward runs only in the
+        # opt-in grad-through-UNet mode.
         b = block
-        bs = BlockSizes(block_q=b, block_k_major=b, block_k=b, block_b=1,
+        bs = BlockSizes(block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
                         block_q_major_dkv=b, block_k_major_dkv=b,
                         block_k_dkv=b, block_q_dkv=b,
                         block_k_major_dq=b, block_k_dq=b, block_q_dq=b)
