@@ -22,6 +22,7 @@ unaffected.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
@@ -126,14 +127,32 @@ def _on_tpu() -> bool:
     return jax.devices()[0].platform in ("tpu", "axon")
 
 
-# Measured on the full batch-3 SVD UNet forward: the kernel runs each FF
-# ~2x faster than XLA's materialized version (13.4 vs ~27 ms at the
-# 320-channel level) but, like ops.pallas_norm, every call site forces a
-# layout round-trip of its 442 MB activations against the graph's
-# transpose-driven layouts — the boundary copies cost more than the win
-# (net 2.87 -> 3.06 s). Off until the surrounding graph keeps canonical
-# layouts.
-USE_PALLAS = __import__("os").environ.get("SYN3R_PALLAS_FFN", "0") == "1"
+# ON by default: the controlled on-chip A/B (scripts/ab_flags.py, run
+# twice 2026-08-20 with the tuned attention blocks in place) measures the
+# full batch-3 SVD UNet forward at 3.051/3.056 s with the kernel vs
+# 3.145/3.146 s without — a reproducible 2.9-3.0% win. (An earlier
+# round-3 measurement had it losing to layout round-trips at the call
+# boundaries; with the current graph the ~2x per-FF win [13.4 vs ~27 ms
+# at the 320-channel level] survives the copies.) SYN3R_PALLAS_FFN=0
+# opts out.
+USE_PALLAS = __import__("os").environ.get("SYN3R_PALLAS_FFN", "1") == "1"
+
+_disable_depth = 0
+
+
+@contextlib.contextmanager
+def pallas_disabled():
+    """Trace-time escape hatch: while active, ``geglu_ffn`` always lowers
+    the jnp reference path. The parallel layer traces its GSPMD-sharded
+    UNet forwards under this — a pallas custom call carries no partition
+    rule, so GSPMD would all-gather the sharded weights/activations at
+    every FF call site (see parallel/tensor_parallel.py docstring)."""
+    global _disable_depth
+    _disable_depth += 1
+    try:
+        yield
+    finally:
+        _disable_depth -= 1
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
@@ -141,7 +160,7 @@ def geglu_ffn(x2, w1, b1, w2, b2, dtype):
     """GEGLU FF on (R, C): fused Pallas kernel on TPU when enabled and the
     shape blocks cleanly, jnp reference otherwise. Differentiable
     (backward recomputes through the reference)."""
-    if USE_PALLAS and _on_tpu():
+    if USE_PALLAS and not _disable_depth and _on_tpu():
         y = geglu_ffn_pallas(x2, w1, b1, w2, b2, dtype)
         if y is not None:
             return y

@@ -223,9 +223,12 @@ def layer_norm_pallas(x2: jnp.ndarray, scale: jnp.ndarray,
 # the kernels win in isolation (GN 0.68 ms vs flax 2.78 ms at 75x9216x320)
 # but every pallas_call pins its operands to the default layout, and XLA
 # then re-lays-out the conv/attention tensors around all ~180 call sites
-# (+~900 ms of copies/fusions; net 2.87 -> 3.21 s). Until the surrounding
-# graph keeps canonical layouts, the jnp reference (whose channel-major
-# stats XLA compiles to the same speed in-graph) is the production route.
+# (+~900 ms of copies/fusions; net 2.87 -> 3.21 s). Re-confirmed by the
+# round-4 controlled A/B (scripts/ab_flags.py, 2026-08-20, twice): NORMS=1
+# is 3.24 s vs 3.146 s baseline, and 3.093-3.101 s vs 3.051-3.056 s when
+# stacked on the (winning, now-default) Pallas FFN — a consistent ~1.5-3%
+# LOSS either way. The jnp reference (whose channel-major stats XLA
+# compiles to the same speed in-graph) stays the production route.
 
 USE_PALLAS = __import__("os").environ.get("SYN3R_PALLAS_NORMS", "0") == "1"
 

@@ -87,7 +87,16 @@ def make_dp_unet_forward(mesh: Mesh, unet, params):
     shd = sharded(mesh)
 
     params = jax.device_put(params, rep)
-    fwd = jax.jit(lambda s, t, e, i: unet.apply(params, s, t, e, i))
+
+    from ..ops.pallas_ffn import pallas_disabled
+
+    def _apply(s, t, e, i):
+        # the Pallas GEGLU custom call has no partition rule; trace the
+        # reference FF so the batch-sharded rows partition cleanly
+        with pallas_disabled():
+            return unet.apply(params, s, t, e, i)
+
+    fwd = jax.jit(_apply)
 
     def run(sample, t, ehs, tids):
         sample = jax.device_put(sample, shd)

@@ -38,8 +38,17 @@ def make_sp_unet_forward(mesh: Mesh, unet, params, axis: str = "seq"):
     seq = NamedSharding(mesh, P(None, axis))     # (B, F, H, W, C) on F
     params_rep = jax.device_put(params, rep)
 
+    from ..ops.pallas_ffn import pallas_disabled
+
+    def _apply(p, s, t, e, i):
+        # the Pallas GEGLU custom call has no partition rule — traced
+        # under the escape hatch so the FF's rows (which carry the
+        # sharded frame axis) partition instead of all-gathering
+        with pallas_disabled():
+            return unet.apply(p, s, t, e, i)
+
     fwd = jax.jit(
-        lambda p, s, t, e, i: unet.apply(p, s, t, e, i),
+        _apply,
         in_shardings=(rep, seq, None, rep, rep),
         out_shardings=seq,
     )

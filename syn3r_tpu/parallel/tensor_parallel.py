@@ -26,11 +26,13 @@ Caveats (correct regardless — GSPMD reshards as needed; noted for perf):
     sharding that axis makes the split cross shard boundaries, costing a
     collective-permute. An interleaved column permutation would remove it
     at the price of a layout-aware weight converter.
-  - The fused Pallas GEGLU kernel (ops/pallas_ffn.py, flag-gated) is a
-    custom call GSPMD cannot partition — with it enabled, the FF weights
-    are all-gathered at each call, negating their sharding. Run TP with
-    SYN3R_PALLAS_FFN off (the default); the attention projections (the
-    larger share of the sharded FLOPs) are plain dots and partition fine.
+  - The fused Pallas GEGLU kernel (ops/pallas_ffn.py, now default-on for
+    single-chip inference) is a custom call GSPMD cannot partition — with
+    it lowered, the FF weights are all-gathered at each call, negating
+    their sharding. ``make_tp_unet_forward`` therefore traces its forward
+    under ``pallas_ffn.pallas_disabled()`` so the FF takes the plain-dot
+    reference path, which partitions fine (as do the attention
+    projections, the larger share of the sharded FLOPs).
 """
 
 from __future__ import annotations
@@ -86,8 +88,15 @@ def make_tp_unet_forward(mesh: Mesh, unet, params, axis: str = "model"):
     params_tp = jax.device_put(params, specs)
     rep = NamedSharding(mesh, P())
 
-    fwd = jax.jit(lambda p, s, t, e, i: unet.apply(p, s, t, e, i),
-                  out_shardings=rep)
+    from ..ops.pallas_ffn import pallas_disabled
+
+    def _apply(p, s, t, e, i):
+        # traced (not run) under the context: the FF lowers the plain-dot
+        # reference path, which GSPMD partitions (module docstring).
+        with pallas_disabled():
+            return unet.apply(p, s, t, e, i)
+
+    fwd = jax.jit(_apply, out_shardings=rep)
 
     def run(sample, t, ehs, tids):
         return fwd(params_tp, jax.device_put(sample, rep), t,
