@@ -22,11 +22,17 @@ def _load_state_dict(model_dir: str) -> dict:
     sd = {}
     st_files = sorted(glob.glob(os.path.join(model_dir, "*.safetensors")))
     if st_files:
+        import numpy as np
         from safetensors import safe_open
         for path in st_files:
             with safe_open(path, framework="np") as f:
                 for k in f.keys():
-                    sd[k] = f.get_tensor(k)
+                    t = f.get_tensor(k)
+                    # HF fp16 snapshots: convert at fp32 like the .bin
+                    # branch (models cast to bf16 at load time anyway).
+                    if t.dtype == np.float16:
+                        t = t.astype(np.float32)
+                    sd[k] = t
         return sd
     bin_files = sorted(glob.glob(os.path.join(model_dir, "*.bin")))
     if not bin_files:
