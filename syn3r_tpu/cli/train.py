@@ -132,6 +132,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "reference path")
     p.add_argument("--tile_cap", type=int, default=1024)
     p.add_argument("--disable_densification", action="store_true")
+    p.add_argument("--save_debug", action="store_true",
+                   help="dump the reference's per-pair QC artifacts "
+                        "(uncertainty/cond PNGs, lambda heatmap, "
+                        "completion GIF) under <model_path>/dense_views/"
+                        "debug/ (reference diffusionGS.py:871-884)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log_every", type=int, default=1000)
     return p
@@ -222,6 +227,7 @@ def main(argv=None):
         num_views_for_pcd_densification=args.num_views_for_pcd_densification,
         fps_keyframe_sampling=bool(args.fps_keyframe_sampling),
         reorg_train_views=bool(args.reorg_train_views),
+        save_debug=args.save_debug,
         seed=args.seed)
     runner = DiffusionGS(trainer, dcfg, completion_fn=completion_fn,
                          dust3r_fn=dust3r_fn, flow_fn=flow_fn)

@@ -97,6 +97,10 @@ class DiffusionGSConfig:
     # v5e-8's chips even single-scene).
     pair_parallel: bool = False
     pair_sharding: object = None
+    # dump the reference's per-pair QC artifacts (uncertainty/cond/warp
+    # PNGs, lambda heatmap, completion GIF — diffusionGS.py:871-884,
+    # 1106-1109,1201-1202) under <save_dir>/debug/cyc{c}_pair{p}/
+    save_debug: bool = False
     seed: int = 0
 
 
@@ -257,6 +261,11 @@ class DiffusionGS:
         # interrupt-resume granularity); pair_parallel runs ALL pending
         # pairs as ONE vmapped call sharded over the pair axis.
         def finish(pi, cache, cond, poses_j, frames):
+            if cfg.save_debug:
+                from ..utils.debug_dump import dump_pair_debug
+                dump_pair_debug(os.path.join(
+                    self.save_dir, "debug", f"cyc{cycle}_pair{pi}"),
+                    cond, frames)
             if cfg.replace_endpoints:
                 frames = frames.at[0].set(cond.image_start)
                 frames = frames.at[-1].set(cond.image_end)
