@@ -66,8 +66,14 @@ def main(argv=None):
                         "refine loss + LPIPS eval")
     p.add_argument("--stages", default="convert,baseline,full,report",
                    help="comma list of: convert baseline full report")
+    p.add_argument("--preset", default="llff",
+                   choices=["llff", "dtu", "dl3dv", "none"],
+                   help="cli.batch preset whose train flags seed the run "
+                        "(default llff — the weights-day command needs no "
+                        "extra flags); 'none' for bare defaults")
     p.add_argument("--extra", nargs=argparse.REMAINDER, default=[],
-                   help="extra flags forwarded to cli.train")
+                   help="extra flags forwarded to cli.train (win over the "
+                        "preset — argparse keeps the last occurrence)")
     args = p.parse_args(argv)
     stages = set(args.stages.split(","))
     os.makedirs(args.out, exist_ok=True)
@@ -90,9 +96,16 @@ def main(argv=None):
                 cargv += ["--lpips", args.lpips]
             convert_cli.main(cargv)
 
-    common = ["-s", args.scene, "--n_views", str(args.n_views),
-              "--llffhold", str(args.llffhold),
-              "--iterations", str(args.iterations)] + list(args.extra)
+    # the full dataset preset (cli.batch PRESETS — the reference's bash
+    # hyperparameter matrix), so the runbook trains with the EXACT LLFF
+    # protocol flags (proximity densify off, svd depth warmup, pseudo
+    # sampling) rather than bare cli.train defaults
+    from .batch import PRESETS
+    preset = [] if args.preset == "none" else list(PRESETS[args.preset])
+    common = preset + ["-s", args.scene, "--n_views", str(args.n_views),
+                       "--llffhold", str(args.llffhold),
+                       "--iterations", str(args.iterations)] \
+        + list(args.extra)
 
     def run_and_eval(model_dir, extra):
         if not os.path.exists(os.path.join(model_dir, "eval_res.txt")):
