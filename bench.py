@@ -283,8 +283,19 @@ def bench_guided_denoise():
         eps = unet_fp32(params, inp, 1.0, clip_emb, tids2)
         return eps[0]
 
-    compiled = cfg_fwd.lower(params, lat0).compile()
-    flops = compiled.cost_analysis()["flops"]
+    # FLOP count from the reference (non-Pallas-FFN) lowering: XLA's cost
+    # analysis cannot see inside a Pallas custom call, so with the fused
+    # GEGLU FFN default-on the Pallas-on graph undercounts real work
+    # (measured: 29.9% "MFU" at a FASTER wall time than round 3's 37.6%).
+    # Same math either way — count the matmul FLOPs, time the real path.
+    from syn3r_tpu.ops.pallas_ffn import pallas_disabled
+    with pallas_disabled():
+        lowered = cfg_fwd.lower(params, lat0)
+    try:
+        # host-side HLO pass, no remote compile
+        flops = lowered.cost_analysis()["flops"]
+    except Exception:
+        flops = lowered.compile().cost_analysis()["flops"]
     dt_fwd = _chain_time(functools.partial(cfg_fwd, params), lat0, iters=5)
     mfu = flops / dt_fwd / 197e12 * 100.0
     return dt, dt_reuse, dt_fwd, mfu, params, unet
@@ -465,6 +476,15 @@ def main():
     gs_total_s = 3 * 10_000 * gs_dt
     scene_s = pairs * pair_s + gs_total_s
     ref_scene_s = pairs * ref_pair_s + gs_total_s
+    # DTU / DL3DV envelopes from the same measured units. Pair topology
+    # (orchestrator.py:200-203): DTU 'interpolate_loop0_gs' runs N-1=2
+    # pairs (3 views), DL3DV 'interpolate_gs_v2' runs N=9 wrap-around
+    # pairs (9 views); both presets run 2 cycles + 3x10k GS iters. DTU's
+    # prob variant is approximated by the measured post-variant completion
+    # unit (same 100x2 fused UNet loop; it skips the 4-tile grad, a <1%
+    # closed-form epilogue).
+    dtu_scene_s = 2 * 2 * pair_s + gs_total_s
+    dl3dv_scene_s = 2 * 9 * pair_s + gs_total_s
     result = ({
         "metric": "guided_denoise_steps_per_sec",
         "value": round(1.0 / dt_guided, 3),
@@ -487,6 +507,8 @@ def main():
             "llff_ref_envelope_matched_s": round(ref_scene_s, 1),
             "algorithmic_speedup_vs_ref_envelope": round(
                 ref_scene_s / scene_s, 2),
+            "dtu_scene_est_min": round(dtu_scene_s / 60.0, 1),
+            "dl3dv_scene_est_min": round(dl3dv_scene_s / 60.0, 1),
         },
     })
     _emit(result)

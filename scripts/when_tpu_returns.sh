@@ -57,7 +57,9 @@ timeout 5400 python scripts/ab_flags.py >> "$LOG" 2>&1
 echo "[battery] ab exit: $?" >> "$LOG"
 
 echo "[battery] === LLFF protocol evidence run ===" >> "$LOG"
-PYTHONPATH=/root/repo timeout 5400 \
+# NB: keep the inherited PYTHONPATH entries — /root/.axon_site is how the
+# axon TPU plugin registers; overwriting PYTHONPATH kills backend init.
+PYTHONPATH=/root/repo:${PYTHONPATH:-} timeout 5400 \
     python .claude/skills/verify/protocol_run.py >> "$LOG" 2>&1
 echo "[battery] protocol exit: $?" >> "$LOG"
 echo "[battery] done $(date -u)" >> "$LOG"

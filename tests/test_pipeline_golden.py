@@ -170,14 +170,16 @@ def _run_reference(variant, imgs8, mask, lam, lat_noise, monkeypatch):
                                     else out)
 
 
-def _run_ours(torch_models, variant_key, imgs8, mask, lam, lat_noise):
+def _run_ours(torch_models, variant_key, imgs8, mask, lam, lat_noise,
+              **cfg_overrides):
     import torch
     from diffusers.utils.torch_utils import randn_tensor
 
     h, w = imgs8.shape[1:3]
     models = _flax_models(*torch_models)
     cfg = GuidedSVDConfig(num_inference_steps=STEPS, num_frames=F,
-                          variant=variant_key, compute_dtype=jnp.float32)
+                          variant=variant_key, compute_dtype=jnp.float32,
+                          **cfg_overrides)
     pipe = GuidedSVDPipeline(models, cfg)
     imgs01 = imgs8.astype(np.float32) / 255.0
     # replicate the reference's single noise-aug draw (generator seed 11,
@@ -243,3 +245,37 @@ def test_tile_boundary_deviation_quantified(monkeypatch):
           f"(ref max |latent| {ref_scale:.3g})")
     assert rel_rms < 0.02, "tile-crop boundary deviation blew up"
     assert rel_rms > 1e-7, "tiles unexpectedly collapsed (nothing measured)"
+
+
+@needs_oracle
+@pytest.mark.slow
+def test_guidance_reuse_divergence_quantified(monkeypatch):
+    """Quantify the opt-in ``guidance_reuse_cfg_uncond`` knob's divergence
+    from the reference semantics (GuidedSVDConfig docstring: the reused
+    CFG-batch uncond row sees the COND clip context in half its temporal
+    cross-attn rows via the reference's time-context batch quirk, while
+    the dedicated batch-1 guidance pass sees uncond everywhere).
+
+    test_pipeline.py pins bit-equality with ZERO clip embeddings (quirk
+    dormant); here the tiny random CLIP produces a live nonzero embedding
+    and the reference run is the exact-semantics oracle, so the end-to-end
+    latent delta at the tile-collapsing 40x72 size IS the reuse divergence
+    — the composition itself is exact at this size
+    (test_pipeline_composition_parity). This is a STRUCTURAL magnitude at
+    random weights (recorded in PARITY.md), not quality evidence; the
+    knob stays off by default until a real-weights A/B."""
+    imgs8, mask, lam, lat_noise = _data()
+    torch_models, ref_lat = _run_reference(
+        "SVD_2pass_prob_uncertain_post", imgs8, mask, lam, lat_noise,
+        monkeypatch)
+    ours = _run_ours(torch_models, "post", imgs8, mask, lam, lat_noise,
+                     guidance_reuse_cfg_uncond=True)
+    assert ref_lat.shape[0] == 1
+    ref = ref_lat[0]
+    rel_rms = float(np.linalg.norm(ours - ref) / np.linalg.norm(ref))
+    max_abs = float(np.abs(ours - ref).max())
+    print(f"reuse-uncond divergence @40x72 latents, {STEPS} steps: "
+          f"rel_rms={rel_rms:.2e} max_abs={max_abs:.3g} "
+          f"(ref max |latent| {float(np.abs(ref).max()):.3g})")
+    assert rel_rms < 0.2, "reuse-uncond divergence blew up"
+    assert rel_rms > 1e-7, "quirk unexpectedly dormant (nothing measured)"
