@@ -1,5 +1,17 @@
-"""Round benchmark on the real chip. Prints ONE JSON line:
+"""Round benchmark on the real chip. Prints JSON result lines; the LAST
+line printed is the definitive record (earlier lines are provisional /
+partial snapshots marked as such in `extra`). Each line has the shape
 {"metric", "value", "unit", "vs_baseline", "extra"}.
+
+Emission contract (round-5 restructure — a driver timeout must never yield
+nothing): the bench prints the most-recent completed on-chip record
+IMMEDIATELY at startup (marked `provisional_from_last_good`), then
+re-emits an updated full line as each live unit completes, live numbers
+replacing carried ones (`carried_fields` lists what is still carried).
+The final line drops the `partial` flag and is persisted to
+BENCH_LAST_GOOD.json. Probe/lock waits default to driver-budget values
+(one 120 s probe, 10 min lock wait); set SYN3R_BENCH_THOROUGH=1 for the
+patient battery behavior (3 probes, 45 min lock wait).
 
 Primary metric: guided SVD denoise steps/sec — BOTH directions of the
 reference's hot loop B per step, with the reference's DETACHED guidance
@@ -16,11 +28,23 @@ Full SVD-XT config, 25 frames, 72x128 latents, bf16.
 extra carries the other north-star metrics (BASELINE.md):
   - completion_s_per_pair: encode + 100 guided steps + chunk-8 bf16
     decode at full size — the reference's whole svd_render unit
+  - guided_step_s_prob / completion_s_per_pair_prob: the DTU prob
+    variant's unit (one batch-2 CFG forward + soft latent replacement per
+    direction — SVD_2pass_prob_uncertain.py + scheduler :1343-1515),
+    measured, not approximated by the post unit
+  - unet_b3_fwd_ms: one batch-3 grouped forward alone — decomposes the
+    guided step into UNet time vs epilogue (grad + Euler + merge)
   - gs_train_step_ms: full 3DGS train step (fwd+bwd+adam+densify stats,
     Pallas composite) at 504x378 / 65k gaussians
-  - unet_fwd_mfu_pct: XLA-counted FLOPs of one CFG (batch 2) UNet
-    forward over measured time vs the v5e 197 TFLOP/s bf16 peak
-  - denoise_frames_per_sec: 25 frames / guided (2-direction) step time
+  - unet_fwd_mfu_pct: counted FLOPs of one CFG (batch 2) UNet forward
+    over measured time vs the v5e 197 TFLOP/s bf16 peak;
+    mfu_flop_basis records whether the count came from the compiled
+    (post-optimization) or the lowered (pre-optimization) HLO of the
+    PALLAS-DISABLED graph (XLA cannot count inside Pallas custom calls)
+  - v5e8_*: the multi-chip per-scene projection from these measured
+    single-chip units (pair_parallel x direction_sharding — derivation
+    in PARITY.md "3x target"); the >=3x BASELINE target is defined on
+    v5e-8 hardware
 All timings chain each iteration's input to the previous output so the
 remote-runtime dispatch queue cannot fake the numbers.
 """
@@ -58,10 +82,21 @@ except OSError:
 
 _LAST_GOOD = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "BENCH_LAST_GOOD.json")
+_THOROUGH = os.environ.get("SYN3R_BENCH_THOROUGH") == "1"
 
 
 def _emit(result):
-    print(json.dumps(result))
+    print(json.dumps(result), flush=True)
+
+
+def _load_last_good():
+    try:
+        with open(_LAST_GOOD) as f:
+            rec = json.load(f)
+        rec["result"]["value"]          # shape check
+        return rec
+    except (OSError, KeyError, ValueError):
+        return None
 
 
 def _record_last_good(result):
@@ -76,13 +111,67 @@ def _record_last_good(result):
         pass
 
 
+class _Record:
+    """The incrementally-published result line. Seeded from the last
+    completed on-chip run (every seeded field listed in carried_fields);
+    live measurements replace carried ones and re-emit."""
+
+    def __init__(self):
+        self.result = {
+            "metric": "guided_denoise_steps_per_sec",
+            "value": 0.0,
+            "unit": "steps/s (both directions)",
+            "vs_baseline": None,
+            "extra": {},
+        }
+        self.carried = set()
+
+    def seed_from_last_good(self):
+        rec = _load_last_good()
+        if rec is None:
+            return False
+        res = rec["result"]
+        extra = dict(res.get("extra") or {})
+        for k in ("stale", "stale_reason", "partial", "carried_fields",
+                  "provisional_from_last_good", "measured_at", "error"):
+            extra.pop(k, None)
+        self.result["value"] = res.get("value", 0.0)
+        self.result["extra"] = extra
+        self.carried = set(extra) | {"value"}
+        extra["provisional_from_last_good"] = rec["measured_at"]
+        return True
+
+    def set_value(self, v):
+        self.result["value"] = v
+        self.carried.discard("value")
+
+    def set(self, **kv):
+        self.result["extra"].update(kv)
+        self.carried -= set(kv)
+
+    def emit(self, final=False):
+        extra = self.result["extra"]
+        if final:
+            for k in ("partial", "carried_fields",
+                      "provisional_from_last_good"):
+                extra.pop(k, None)
+            _emit(self.result)
+            _record_last_good(self.result)
+        else:
+            extra["partial"] = True
+            if self.carried:
+                extra["carried_fields"] = sorted(self.carried)
+            else:
+                extra.pop("carried_fields", None)
+            _emit(self.result)
+
+
 def _emit_stale_or_error(detail):
     """TPU unreachable: emit the most recent REAL on-chip measurement,
     clearly marked stale with the outage reason — never fake CPU numbers,
     and never zeros when a dated chip measurement exists."""
-    try:
-        with open(_LAST_GOOD) as f:
-            rec = json.load(f)
+    rec = _load_last_good()
+    if rec is not None:
         result = rec["result"]
         extra = dict(result.get("extra") or {})
         extra.update({
@@ -93,18 +182,18 @@ def _emit_stale_or_error(detail):
         })
         result["extra"] = extra
         _emit(result)
-    except (OSError, KeyError, ValueError):
-        _emit({
-            "metric": "guided_denoise_steps_per_sec",
-            "value": 0.0,
-            "unit": "steps/s (both directions)",
-            "vs_baseline": None,
-            "extra": {"error": f"TPU backend unavailable: {detail}; "
-                               "bench not run (no fake CPU numbers)"},
-        })
+        return
+    _emit({
+        "metric": "guided_denoise_steps_per_sec",
+        "value": 0.0,
+        "unit": "steps/s (both directions)",
+        "vs_baseline": None,
+        "extra": {"error": f"TPU backend unavailable: {detail}; "
+                           "bench not run (no fake CPU numbers)"},
+    })
 
 
-def _probe_backend(timeout_s=180):
+def _probe_backend(timeout_s):
     """Check that the default JAX backend actually initializes, in a
     SUBPROCESS with a hard timeout. When the axon TPU tunnel is down,
     `jax.devices()` blocks forever inside backend init — probing in-process
@@ -160,7 +249,9 @@ def _chain_time(step, x0, iters):
     return max(t2 - t1, 1e-9) / (n2 - n1)
 
 
-def bench_guided_denoise():
+def setup_guided():
+    """Build the full-config UNet + scheduler context and every jitted
+    step variant. Returns a dict of closures; nothing is compiled yet."""
     import jax
     import jax.numpy as jnp
 
@@ -186,15 +277,15 @@ def bench_guided_denoise():
     mask = jnp.ones((f - 2, hl, wl), jnp.float32) * 0.5
     mask2 = jnp.stack([mask, jnp.flip(mask, 0)])
     lam = jnp.ones((100, f), jnp.float32)
+    lam2 = jnp.stack([lam, jnp.flip(lam, 1)])
     img_lat = jax.random.normal(rng, (f, hl, wl, 4), jnp.float32)
     clip_emb = jax.random.normal(rng, (2, 1, 1024), jnp.float32)
     tids2 = jnp.tile(tids1, (2, 1))
+    tids3 = jnp.tile(tids1, (3, 1))
 
     def unet_fp32(p, x, t, e, ti, groups=None):
         return unet.apply(p, x.astype(dtype), t, e.astype(dtype),
                           ti, batch_groups=groups).astype(jnp.float32)
-
-    tids3 = jnp.tile(tids1, (3, 1))
 
     def direction_step(params, latents, cond_d, mask_d, step_i):
         """One direction of the guided step, FUSED: the batch-1 uncond
@@ -232,15 +323,6 @@ def bench_guided_denoise():
                              mask2[1], step_i)
         return weight_fw * fwd + (1 - weight_fw) * jnp.flip(bwd, 0)
 
-    import functools
-    # params must be a runtime ARGUMENT of the jitted step: closing over
-    # them via partial embeds 3 GB of weights as compile-time constants,
-    # which breaks the axon remote-compile transport (and bloats the
-    # executable).
-    step_jit = jax.jit(guided_dual_step)
-    lat0 = jax.random.normal(rng, (f, hl, wl, 4), jnp.float32) * sch.sigmas[0]
-    dt = _chain_time(lambda x: step_jit(params, x), lat0, iters=5)
-
     # opt-in reuse mode (GuidedSVDConfig.guidance_reuse_cfg_uncond): the
     # CFG pass's uncond row doubles as the guidance x0 — ONE batch-2
     # forward per direction instead of batch-3 (documented divergence via
@@ -271,41 +353,107 @@ def bench_guided_denoise():
                                    mask2[1], step_i)
         return weight_fw * fwd + (1 - weight_fw) * jnp.flip(bwd, 0)
 
-    reuse_jit = jax.jit(guided_dual_step_reuse)
-    dt_reuse = _chain_time(lambda x: reuse_jit(params, x), lat0, iters=3)
+    # the DTU prob variant's step (SVD_2pass_prob_uncertain.py + the
+    # vendored scheduler's step_interp_prob_uncertain, :1343-1515): per
+    # direction ONE batch-2 CFG forward + the soft latent-replacement
+    # epilogue — NO guidance pass, NO tile grad. 2/3 of the post
+    # variant's UNet FLOPs per step.
+    def direction_step_prob(params, latents, cond_d, mask_d, lam_d, step_i):
+        t = sch.timesteps[step_i]
+        scaled = S.scale_model_input(sch, latents, step_i)
+        inp2 = jnp.stack([
+            jnp.concatenate([scaled, jnp.zeros_like(img_lat)], axis=-1),
+            jnp.concatenate([scaled, img_lat], axis=-1)], axis=0)
+        eps2 = unet_fp32(params, inp2, t, clip_emb, tids2)
+        eps = eps2[0] + guidance * (eps2[1] - eps2[0])
+        prev, _ = S.step_interp_prob_uncertain(
+            sch, eps.transpose(0, 3, 1, 2),
+            latents.transpose(0, 3, 1, 2), step_i,
+            cond_d.transpose(0, 3, 1, 2), mask_d, lam_d)
+        return prev.transpose(0, 2, 3, 1)
 
-    # CFG (batch 2) UNet forward MFU (XLA flops over measured time)
-    @jax.jit
-    def cfg_fwd(params, x):
+    def guided_dual_step_prob(params, latents, step_i=0):
+        fwd = direction_step_prob(params, latents, cond2[0], mask2[0],
+                                  lam2[0], step_i)
+        bwd = direction_step_prob(params, jnp.flip(latents, 0), cond2[1],
+                                  mask2[1], lam2[1], step_i)
+        return weight_fw * fwd + (1 - weight_fw) * jnp.flip(bwd, 0)
+
+    # CFG (batch 2) UNet forward — plain body, NOT pre-decorated: the
+    # FLOP-count lowering below must go through a DISTINCT jit wrapper so
+    # the timing callable's trace-cache entry is never created under
+    # pallas_disabled() (ADVICE r4: the old shared-jit version silently
+    # timed the reference-FFN graph).
+    def cfg_body(params, x):
         inp = jnp.stack([
             jnp.concatenate([x, jnp.zeros_like(img_lat)], axis=-1),
             jnp.concatenate([x, img_lat], axis=-1)], axis=0)
         eps = unet_fp32(params, inp, 1.0, clip_emb, tids2)
         return eps[0]
 
-    # FLOP count from the reference (non-Pallas-FFN) lowering: XLA's cost
-    # analysis cannot see inside a Pallas custom call, so with the fused
-    # GEGLU FFN default-on the Pallas-on graph undercounts real work
-    # (measured: 29.9% "MFU" at a FASTER wall time than round 3's 37.6%).
-    # Same math either way — count the matmul FLOPs, time the real path.
+    # one grouped batch-3 forward alone — the guided step's UNet part,
+    # for the step-time decomposition (epilogue = step - 2 x this)
+    def b3_body(params, x):
+        uncond = jnp.concatenate([x, jnp.zeros_like(img_lat)], axis=-1)
+        inp3 = jnp.stack([
+            uncond, uncond,
+            jnp.concatenate([x, img_lat], axis=-1)], axis=0)
+        ehs3 = jnp.concatenate([jnp.zeros_like(clip_emb[:1]), clip_emb],
+                               axis=0)
+        eps3 = unet_fp32(params, inp3, 1.0, ehs3, tids3, (1, 2))
+        return eps3[0]
+
+    lat0 = jax.random.normal(rng, (f, hl, wl, 4), jnp.float32) * sch.sigmas[0]
+    # params must be a runtime ARGUMENT of the jitted step: closing over
+    # them via partial embeds 3 GB of weights as compile-time constants,
+    # which breaks the axon remote-compile transport (and bloats the
+    # executable).
+    return {
+        "params": params, "lat0": lat0,
+        "step_jit": jax.jit(guided_dual_step),
+        "reuse_jit": jax.jit(guided_dual_step_reuse),
+        "prob_jit": jax.jit(guided_dual_step_prob),
+        "cfg_body": cfg_body,
+        "cfg_jit": jax.jit(cfg_body),
+        "b3_jit": jax.jit(b3_body),
+    }
+
+
+def count_cfg_flops(ctx):
+    """FLOPs of one CFG (batch 2) forward from the PALLAS-DISABLED graph:
+    XLA's cost analysis cannot see inside a Pallas custom call, so with
+    the fused GEGLU FFN default-on the Pallas-on graph undercounts real
+    work (measured r4: 29.9% "MFU" at a FASTER wall time than r3's
+    37.6%). Same math either way — count the reference-FFN graph's
+    matmuls, time the real (Pallas-on) path.
+
+    Basis: prefer the COMPILED (post-fusion/CSE) HLO count — the
+    pre-optimization lowering can overcount work the compiler
+    eliminates (ADVICE r4 low). Falls back to the lowered count (one
+    extra full-config compile is driver-budget-relevant only on a cold
+    cache; this call runs after the primary metric is already out).
+    Returns (flops, basis)."""
+    import jax
     from syn3r_tpu.ops.pallas_ffn import pallas_disabled
+
+    body = ctx["cfg_body"]
     with pallas_disabled():
-        lowered = cfg_fwd.lower(params, lat0)
-    try:
-        # host-side HLO pass, no remote compile
-        flops = lowered.cost_analysis()["flops"]
-    except Exception:
-        flops = lowered.compile().cost_analysis()["flops"]
-    dt_fwd = _chain_time(functools.partial(cfg_fwd, params), lat0, iters=5)
-    mfu = flops / dt_fwd / 197e12 * 100.0
-    return dt, dt_reuse, dt_fwd, mfu, params, unet
+        # distinct jit wrapper — never pollutes cfg_jit's trace cache
+        lowered = jax.jit(lambda p, x: body(p, x)).lower(
+            ctx["params"], ctx["lat0"])
+    if os.environ.get("SYN3R_BENCH_MFU_LOWERED") != "1":
+        try:
+            return lowered.compile().cost_analysis()["flops"], "compiled_hlo"
+        except Exception:
+            pass
+    return lowered.cost_analysis()["flops"], "lowered_hlo_prefusion"
 
 
-def bench_completion_pair(dt_guided):
-    """Full completion unit: VAE encode (27 frames) + 100 guided dual steps
-    + chunk-8 bf16 temporal decode at 576x1024. The denoise part is
-    extrapolated from the measured per-step time (identical jit); encode
-    and decode are measured directly."""
+def bench_completion_pair():
+    """VAE halves of the completion unit: encode (27 frames) + chunk-8
+    bf16 temporal decode at 576x1024, measured directly. The denoise part
+    is extrapolated from the measured per-step time (identical jit).
+    Returns (t_encode, t_decode)."""
     import jax
     import jax.numpy as jnp
 
@@ -361,7 +509,7 @@ def bench_completion_pair(dt_guided):
     _drain(out)
     t_decode = time.time() - t0
 
-    return t_encode + 100.0 * dt_guided + t_decode, t_encode, t_decode
+    return t_encode, t_decode
 
 
 def bench_gs_step():
@@ -402,8 +550,6 @@ def bench_gs_step():
     # frames/sec"): forward-only render_view at the same scene scale,
     # chained through the gaussian means so the queue can't pipeline it
     # into a lie
-    import jax
-
     def render_once(g):
         out = tr._render_jit(g, cam0)
         return g.replace(means=g.means + 0.0 * out.rgb.mean())
@@ -413,27 +559,38 @@ def bench_gs_step():
 
 
 def main():
-    # Refuse to start against a dead backend: probe (with retries — the
-    # tunnel flaps) before importing jax in THIS process. Emitting an
-    # explicit error line beats hanging the driver's end-of-round bench.
+    rec = _Record()
+    # Emit the most-recent completed on-chip record IMMEDIATELY — before
+    # the probe, before the lock, before importing jax. A driver timeout
+    # anywhere downstream now leaves a real dated number on stdout instead
+    # of rc=124 with nothing (the round-4 failure mode).
+    if rec.seed_from_last_good():
+        rec.emit()
+    # Refuse to run against a dead backend: probe in a SUBPROCESS (the
+    # axon tunnel blocks forever inside backend init when down). Driver
+    # budget by default: one 120 s attempt; the battery opts into patient
+    # retries with SYN3R_BENCH_THOROUGH=1.
     if os.environ.get("SYN3R_BENCH_SKIP_PROBE") != "1":
+        attempts, probe_t = (3, 180) if _THOROUGH else (1, 120)
         ok, detail = False, ""
-        for attempt in range(3):
-            ok, detail = _probe_backend()
+        for attempt in range(attempts):
+            ok, detail = _probe_backend(probe_t)
             if ok:
                 break
-            time.sleep(60 if attempt < 2 else 0)
+            if attempt < attempts - 1:
+                time.sleep(60)
         if not ok:
             _emit_stale_or_error(detail)
             return
     # Serialize against other chip clients (the tunnel-return battery can
-    # hold the chip for ~2h): two concurrent clients of the single-chip
+    # hold the chip for hours): two concurrent clients of the single-chip
     # remote runtime deadlock in the compile queue (observed). Hold the
-    # lock for the whole run; if it can't be had in time, emit the stale
-    # fallback instead of deadlocking the driver.
+    # lock for the whole run; if it can't be had in time, the provisional
+    # line already out (plus the stale line here) is the answer.
     lock_path = "/tmp/syn3r_tpu.lock"
     if os.environ.get("SYN3R_BENCH_LOCK_SKIP") != "1":   # battery holds it
-        wait_s = int(os.environ.get("SYN3R_BENCH_LOCK_WAIT_S", "2700"))
+        wait_s = int(os.environ.get(
+            "SYN3R_BENCH_LOCK_WAIT_S", "2700" if _THOROUGH else "600"))
         lock_f = open(lock_path, "w")                    # kept open = held
         import fcntl
         t0 = time.time()
@@ -454,22 +611,71 @@ def main():
     from syn3r_tpu.utils.compile_cache import configure as _cc
     _cc(jax)  # host-feature-keyed dir: foreign AOT cache entries SIGILL
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
-    dt_guided, dt_reuse, dt_fwd, mfu, _, _ = bench_guided_denoise()
-    pair_s, enc_s, dec_s = bench_completion_pair(dt_guided)
+
+    ctx = setup_guided()
+    params, lat0 = ctx["params"], ctx["lat0"]
+
+    # -- primary metric first, published the moment it exists ----------
+    dt_guided = _chain_time(lambda x: ctx["step_jit"](params, x), lat0,
+                            iters=5)
+    rec.set_value(round(1.0 / dt_guided, 3))
+    rec.set(denoise_frames_per_sec=round(25.0 / dt_guided, 2),
+            guided_step_s=round(dt_guided, 2))
+    rec.emit()
+
+    # -- UNet-family extras --------------------------------------------
+    dt_b3 = _chain_time(lambda x: ctx["b3_jit"](params, x), lat0, iters=5)
+    rec.set(unet_b3_fwd_ms=round(dt_b3 * 1e3, 1),
+            guided_step_epilogue_ms=round((dt_guided - 2 * dt_b3) * 1e3, 1))
+    rec.emit()
+
+    dt_reuse = _chain_time(lambda x: ctx["reuse_jit"](params, x), lat0,
+                           iters=3)
+    dt_prob = _chain_time(lambda x: ctx["prob_jit"](params, x), lat0,
+                          iters=3)
+    rec.set(guided_step_s_reuse_uncond=round(dt_reuse, 2),
+            guided_step_s_prob=round(dt_prob, 2))
+    rec.emit()
+
+    dt_fwd = _chain_time(lambda x: ctx["cfg_jit"](params, x), lat0, iters=5)
+    flops, basis = count_cfg_flops(ctx)
+    mfu = flops / dt_fwd / 197e12 * 100.0
+    rec.set(unet_cfg_fwd_ms=round(dt_fwd * 1e3, 1),
+            unet_fwd_mfu_pct=round(mfu, 1),
+            mfu_flop_basis=basis)
+    rec.emit()
+
+    # -- completion units ----------------------------------------------
+    enc_s, dec_s = bench_completion_pair()
+    pair_s = enc_s + 100.0 * dt_guided + dec_s
+    pair_prob_s = enc_s + 100.0 * dt_prob + dec_s
+    rec.set(vae_encode27_s=round(enc_s, 2),
+            vae_decode25_s=round(dec_s, 2),
+            completion_s_per_pair=round(pair_s, 1),
+            completion_s_per_pair_reuse=round(
+                enc_s + 100.0 * dt_reuse + dec_s, 1),
+            completion_s_per_pair_prob=round(pair_prob_s, 1))
+    rec.emit()
+
+    # -- 3DGS units -----------------------------------------------------
     gs_dt, gs_render_dt = bench_gs_step()
-    # Per-scene LLFF envelope (the number BASELINE.md's >=3x target is
-    # judged against). Ours: 2 cycles x 3 wrap-around pairs x measured
-    # completion unit + 3 x 10k GS iters (init + 2 refines,
-    # diffusionGS.py:1668-1697, batch_llff_train.sh:39). Reference at
-    # MATCHED per-UNet-pass cost on this chip: per step and direction it
-    # runs 4 tile passes (40x72 latents = 0.3125 full-frame each, batch-1)
-    # + 1 full CFG pass (batch-2 = 2.0) = 3.25 full-frame batch-1
-    # fwd-equivalents (SVD_2pass_prob_uncertain_post.py:726-800) —
-    # CONSERVATIVE: the reference also backprops each tile through the
-    # UNet (loss.backward() to the input, :729-733), which this count
-    # treats as free; our fused batch-3 step is 3.0 fwd-equivalents with
-    # the closed-form grad instead. GS phases are charged identically on
-    # both sides (the reference's CUDA rasterizer is not measurable here).
+    rec.set(gs_train_step_ms=round(gs_dt * 1e3, 1),
+            gs_render_fps=round(1.0 / gs_render_dt, 1))
+
+    # -- per-scene envelopes (single chip) ------------------------------
+    # LLFF (the number BASELINE.md's >=3x target is judged against).
+    # Ours: 2 cycles x 3 wrap-around pairs x measured completion unit +
+    # 3 x 10k GS iters (init + 2 refines, diffusionGS.py:1668-1697,
+    # batch_llff_train.sh:39). Reference at MATCHED per-UNet-pass cost on
+    # this chip: per step and direction it runs 4 tile passes (40x72
+    # latents = 0.3125 full-frame each, batch-1) + 1 full CFG pass
+    # (batch-2 = 2.0) = 3.25 full-frame batch-1 fwd-equivalents
+    # (SVD_2pass_prob_uncertain_post.py:726-800) — CONSERVATIVE: the
+    # reference also backprops each tile through the UNet
+    # (loss.backward() to the input, :729-733), which this count treats
+    # as free; our fused batch-3 step is 3.0 fwd-equivalents with the
+    # closed-form grad instead. GS phases are charged identically on both
+    # sides (the reference's CUDA rasterizer is not measurable here).
     fwd1 = dt_fwd / 2.0                      # batch-1 full-frame forward
     pairs = 2 * 3
     ref_pair_s = enc_s + 100 * 2 * 3.25 * fwd1 + dec_s
@@ -478,41 +684,39 @@ def main():
     ref_scene_s = pairs * ref_pair_s + gs_total_s
     # DTU / DL3DV envelopes from the same measured units. Pair topology
     # (orchestrator.py:200-203): DTU 'interpolate_loop0_gs' runs N-1=2
-    # pairs (3 views), DL3DV 'interpolate_gs_v2' runs N=9 wrap-around
-    # pairs (9 views); both presets run 2 cycles + 3x10k GS iters. DTU's
-    # prob variant is approximated by the measured post-variant completion
-    # unit (same 100x2 fused UNet loop; it skips the 4-tile grad, a <1%
-    # closed-form epilogue).
-    dtu_scene_s = 2 * 2 * pair_s + gs_total_s
+    # pairs (3 views) on the PROB variant (now measured directly, not
+    # approximated); DL3DV 'interpolate_gs_v2' runs N=9 wrap-around pairs
+    # (9 views); both presets run 2 cycles + 3x10k GS iters.
+    dtu_scene_s = 2 * 2 * pair_prob_s + gs_total_s
     dl3dv_scene_s = 2 * 9 * pair_s + gs_total_s
-    result = ({
-        "metric": "guided_denoise_steps_per_sec",
-        "value": round(1.0 / dt_guided, 3),
-        "unit": "steps/s (both directions)",
-        "vs_baseline": None,
-        "extra": {
-            "denoise_frames_per_sec": round(25.0 / dt_guided, 2),
-            "completion_s_per_pair": round(pair_s, 1),
-            "vae_encode27_s": round(enc_s, 2),
-            "vae_decode25_s": round(dec_s, 2),
-            "guided_step_s_reuse_uncond": round(dt_reuse, 2),
-            "completion_s_per_pair_reuse": round(
-                enc_s + 100.0 * dt_reuse + dec_s, 1),
-            "unet_cfg_fwd_ms": round(dt_fwd * 1e3, 1),
-            "unet_fwd_mfu_pct": round(mfu, 1),
-            "gs_train_step_ms": round(gs_dt * 1e3, 1),
-            "gs_render_fps": round(1.0 / gs_render_dt, 1),
-            "llff_scene_est_s": round(scene_s, 1),
-            "llff_scene_est_min": round(scene_s / 60.0, 1),
-            "llff_ref_envelope_matched_s": round(ref_scene_s, 1),
-            "algorithmic_speedup_vs_ref_envelope": round(
+
+    # -- v5e-8 projection (the hardware BASELINE.md defines the >=3x
+    # target on). pair_parallel x direction_sharding: every (pair,
+    # direction) completion unit runs concurrently — LLFF 3x2=6 of 8
+    # chips, DTU 2x2=4, DL3DV 9x2=18 -> 3 waves of <=8. Per chip and
+    # step: HALF the dual step (one direction: batch-3 fwd + epilogue)
+    # plus a ~3.7 MB latent exchange over ICI per step for the direction
+    # merge (negligible vs ~3 s of compute; see PARITY.md "3x target"
+    # for the derivation + residual risks). Cycles are sequential (cycle
+    # 2 consumes cycle 1's GS); GS phases kept single-chip (conservative).
+    dir_unit_s = enc_s + 100.0 * dt_guided / 2.0 + dec_s
+    dir_unit_prob_s = enc_s + 100.0 * dt_prob / 2.0 + dec_s
+    v5e8_llff_s = 2 * dir_unit_s + gs_total_s
+    v5e8_dtu_s = 2 * dir_unit_prob_s + gs_total_s
+    v5e8_dl3dv_s = 2 * 3 * dir_unit_s + gs_total_s
+
+    rec.set(llff_scene_est_s=round(scene_s, 1),
+            llff_scene_est_min=round(scene_s / 60.0, 1),
+            llff_ref_envelope_matched_s=round(ref_scene_s, 1),
+            algorithmic_speedup_vs_ref_envelope=round(
                 ref_scene_s / scene_s, 2),
-            "dtu_scene_est_min": round(dtu_scene_s / 60.0, 1),
-            "dl3dv_scene_est_min": round(dl3dv_scene_s / 60.0, 1),
-        },
-    })
-    _emit(result)
-    _record_last_good(result)
+            dtu_scene_est_min=round(dtu_scene_s / 60.0, 1),
+            dl3dv_scene_est_min=round(dl3dv_scene_s / 60.0, 1),
+            v5e8_llff_scene_est_min=round(v5e8_llff_s / 60.0, 1),
+            v5e8_dtu_scene_est_min=round(v5e8_dtu_s / 60.0, 1),
+            v5e8_dl3dv_scene_est_min=round(v5e8_dl3dv_s / 60.0, 1),
+            v5e8_speedup_vs_ref_envelope=round(ref_scene_s / v5e8_llff_s, 2))
+    rec.emit(final=True)
 
 
 if __name__ == "__main__":

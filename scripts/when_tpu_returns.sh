@@ -1,9 +1,19 @@
 #!/bin/bash
 # On-chip validation battery for when the axon tunnel comes back.
 # Polls backend init; once it succeeds, runs the verify drive, the round
-# bench, and the GS-step profile, logging everything to /tmp/tpu_battery.log.
+# bench, and the profiles, logging everything to /tmp/tpu_battery.log.
+#
+# Lock discipline (round 5): the single-chip lock is taken PER STAGE, not
+# for the whole battery — between stages the driver's end-of-round
+# bench.py can grab the chip instead of timing out against a lock held
+# for hours (round-4 weak #6). Concurrent clients still never overlap
+# (two clients of the remote runtime deadlock in the compile queue,
+# observed). The bench stage runs SYN3R_BENCH_THOROUGH=1 and writes its
+# result through bench.py's BENCH_LAST_GOOD record, so a later driver run
+# can emit a fresh dated number immediately even if the chip is busy.
 set -u
 LOG=/tmp/tpu_battery.log
+LOCK=/tmp/syn3r_tpu.lock
 cd /root/repo
 
 probe() {
@@ -11,6 +21,13 @@ probe() {
 import jax
 jax.devices()
 EOF
+}
+
+stage() {  # stage <name> <timeout_s> <cmd...>
+    local name=$1 tmo=$2; shift 2
+    echo "[battery] === $name ===" >> "$LOG"
+    flock "$LOCK" timeout "$tmo" "$@" >> "$LOG" 2>&1
+    echo "[battery] $name exit: $?" >> "$LOG"
 }
 
 echo "[battery] start $(date -u)" >> "$LOG"
@@ -27,39 +44,24 @@ if ! probe; then
     exit 1
 fi
 
-# hold the single-chip lock for the whole battery: concurrent clients of
-# the tunnel deadlock in the remote compile queue; bench.py (the driver's
-# end-of-round run) waits on this same lock and falls back to its last
-# recorded result if the battery holds it too long.
-exec 9>/tmp/syn3r_tpu.lock
-flock 9
-echo "[battery] holding /tmp/syn3r_tpu.lock" >> "$LOG"
-
-echo "[battery] === verify drive ===" >> "$LOG"
-timeout 3600 python .claude/skills/verify/drive.py >> "$LOG" 2>&1
-echo "[battery] drive exit: $?" >> "$LOG"
+stage "verify drive" 3600 python .claude/skills/verify/drive.py
 
 echo "[battery] === bench ===" >> "$LOG"
-SYN3R_BENCH_LOCK_SKIP=1 timeout 5400 python bench.py > /tmp/bench_r3.json 2>> "$LOG"
+flock "$LOCK" env SYN3R_BENCH_LOCK_SKIP=1 SYN3R_BENCH_THOROUGH=1 \
+    timeout 5400 python bench.py > /tmp/bench_battery.json 2>> "$LOG"
 echo "[battery] bench exit: $?" >> "$LOG"
-cat /tmp/bench_r3.json >> "$LOG"
+cat /tmp/bench_battery.json >> "$LOG"
 
-echo "[battery] === gs profile ===" >> "$LOG"
-timeout 1800 python scripts/profile_gs_step.py >> "$LOG" 2>&1
-echo "[battery] profile exit: $?" >> "$LOG"
+stage "gs profile" 1800 python scripts/profile_gs_step.py
+stage "unet component profile" 3600 python scripts/profile_unet_step.py
+stage "pallas kernel A/B (FFN x NORMS flags)" 5400 python scripts/ab_flags.py
 
-echo "[battery] === unet component profile ===" >> "$LOG"
-timeout 3600 python scripts/profile_unet_step.py >> "$LOG" 2>&1
-echo "[battery] unet profile exit: $?" >> "$LOG"
-
-echo "[battery] === pallas kernel A/B (FFN x NORMS flags) ===" >> "$LOG"
-timeout 5400 python scripts/ab_flags.py >> "$LOG" 2>&1
-echo "[battery] ab exit: $?" >> "$LOG"
-
-echo "[battery] === LLFF protocol evidence run ===" >> "$LOG"
 # NB: keep the inherited PYTHONPATH entries — /root/.axon_site is how the
 # axon TPU plugin registers; overwriting PYTHONPATH kills backend init.
-PYTHONPATH=/root/repo:${PYTHONPATH:-} timeout 5400 \
-    python .claude/skills/verify/protocol_run.py >> "$LOG" 2>&1
+# (Append-only expansion: no trailing colon when PYTHONPATH is unset —
+# an empty entry would put CWD on sys.path, ADVICE r4.)
+echo "[battery] === LLFF protocol evidence run ===" >> "$LOG"
+flock "$LOCK" env PYTHONPATH=/root/repo${PYTHONPATH:+:$PYTHONPATH} \
+    timeout 5400 python .claude/skills/verify/protocol_run.py >> "$LOG" 2>&1
 echo "[battery] protocol exit: $?" >> "$LOG"
 echo "[battery] done $(date -u)" >> "$LOG"
