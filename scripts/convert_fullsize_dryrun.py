@@ -122,6 +122,10 @@ def validate_trees(weights_dir):
     """Converted npz trees vs the flax models' expected shapes
     (eval_shape — nothing full-size materializes)."""
     import jax
+    # authoritative CPU pin (the JAX_PLATFORMS env var is ignored when the
+    # axon TPU plugin is registered): this validation must NEVER grab the
+    # single-chip tunnel — a second client deadlocks the remote runtime
+    jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from syn3r_tpu.models.clip import CLIPVisionModelWithProjection
     from syn3r_tpu.models.convert import assert_tree_match

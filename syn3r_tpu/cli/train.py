@@ -137,6 +137,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "(uncertainty/cond PNGs, lambda heatmap, "
                         "completion GIF) under <model_path>/dense_views/"
                         "debug/ (reference diffusionGS.py:871-884)")
+    p.add_argument("--scene_parallel", default="auto",
+                   choices=["auto", "off", "on"],
+                   help="within-scene multi-chip scaling (beyond the "
+                        "reference, whose only parallelism is a bash loop "
+                        "over scenes): all (view-pair, direction) "
+                        "completion units of one scene run concurrently "
+                        "on a (pair, dir) device mesh — LLFF 3 pairs x 2 "
+                        "directions fill 6 of a v5e-8's chips "
+                        "(parallel/mesh.make_scene_topology; PARITY.md "
+                        "'>=3x target'). auto = engage when >1 device is "
+                        "visible; on = require it")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log_every", type=int, default=1000)
     return p
@@ -196,9 +207,20 @@ def main(argv=None):
         from ..utils.params import load_params
         trainer.set_lpips(load_params(args.lpips_weights))
 
+    pair_sh = dir_sh = None
+    if args.scene_parallel != "off":
+        from ..parallel.mesh import make_scene_topology
+        pair_sh, dir_sh = make_scene_topology()
+        if pair_sh is not None:
+            print(f"[scene_parallel] (pair, dir) mesh "
+                  f"{pair_sh.mesh.devices.shape} over "
+                  f"{pair_sh.mesh.devices.size} devices")
+        elif args.scene_parallel == "on":
+            raise SystemExit("--scene_parallel on requires >= 2 devices")
+
     completion_fn = None
     if args.svd_weights:
-        completion_fn = _load_svd_completion(args)
+        completion_fn = _load_svd_completion(args, direction_sharding=dir_sh)
     dust3r_fn = None
     if args.dust3r_weights:
         from ..utils.params import load_params
@@ -228,6 +250,8 @@ def main(argv=None):
         fps_keyframe_sampling=bool(args.fps_keyframe_sampling),
         reorg_train_views=bool(args.reorg_train_views),
         save_debug=args.save_debug,
+        pair_parallel=pair_sh is not None,
+        pair_sharding=pair_sh,
         seed=args.seed)
     runner = DiffusionGS(trainer, dcfg, completion_fn=completion_fn,
                          dust3r_fn=dust3r_fn, flow_fn=flow_fn)
@@ -235,7 +259,7 @@ def main(argv=None):
     print(f"[done] checkpoints in {args.model_path}")
 
 
-def _load_svd_completion(args):
+def _load_svd_completion(args, direction_sharding=None):
     """Build a GuidedSVDPipeline from converted weight files."""
     import numpy as np
     import jax.numpy as jnp
@@ -267,7 +291,8 @@ def _load_svd_completion(args):
     cfg = GuidedSVDConfig(num_inference_steps=args.num_inference_steps,
                           variant=variant,
                           guidance_reuse_cfg_uncond=bool(
-                              args.guidance_reuse_cfg_uncond))
+                              args.guidance_reuse_cfg_uncond),
+                          direction_sharding=direction_sharding)
     return GuidedSVDPipeline(models, cfg)
 
 

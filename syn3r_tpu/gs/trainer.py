@@ -79,6 +79,14 @@ class TrainConfig:
     # after the first opacity reset (the trainer's size_threshold gate)
     max_screen_size: Optional[float] = 20.0
     capacity_growth_occupancy: float = 0.85
+    # hard ceiling on capacity doubling (2^21 = ~2M Gaussians ≈ the most
+    # a v5e chip trains comfortably). At the ceiling densification keeps
+    # running at fixed capacity: candidates only fill slots freed by
+    # pruning (scatter mode='drop' handles the overflow), so an
+    # adversarial scene degrades gracefully instead of doubling until the
+    # compile OOMs (observed: the textured protocol scene reached 2M and
+    # _densify_step no longer fit HBM)
+    max_capacity: int = 2 ** 21
     # FSGS proximity-guided Gaussian unpooling (the fork's
     # --use_proximity_densify; semantics reconstructed from the FSGS paper
     # — see gs/densify.densify_and_prune). The fork's default is ON (the
@@ -512,6 +520,8 @@ class GSTrainer:
         occ = float(g.num_active) / g.capacity
         if occ <= self.cfg.capacity_growth_occupancy:
             return
+        if g.capacity * 2 > self.cfg.max_capacity:
+            return                       # ceiling: densify into freed slots
         new_cap = g.capacity * 2
 
         def pad(x):

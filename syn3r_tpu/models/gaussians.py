@@ -39,7 +39,15 @@ class GaussianState:
     log_scales: jnp.ndarray      # (N, 3)
     opacity_logits: jnp.ndarray  # (N, 1)
     sh_dc: jnp.ndarray           # (N, 1, 3) degree-0 SH
-    sh_rest: jnp.ndarray         # (N, K-1, 3) higher-degree SH
+    # higher-degree SH, stored FLAT (N, 3*(K-1)) in production: the rank-3
+    # (N, K-1, 3) form puts the tiny (15, 3) pair in XLA:TPU's tiled minor
+    # dims — a measured 11.4x memory expansion (T(4,128) pads 15x3 to
+    # 16x128) that OOM'd _densify_step's 3x-capacity gather at 2M capacity
+    # (17.13 GB program, 12 GB of it ONE padded gather temp). Rank-2
+    # arrays get the transposed {0,1} layout (capacity in lanes) like
+    # quats and pad ~1x. The ``sh`` property accepts either rank, so
+    # hand-built rank-3 states (tests, old checkpoints) still work.
+    sh_rest: jnp.ndarray         # (N, 3*(K-1)) flat — or legacy (N, K-1, 3)
     active: jnp.ndarray          # (N,) bool — live vs padding slots
 
     @property
@@ -60,7 +68,10 @@ class GaussianState:
 
     @property
     def sh(self) -> jnp.ndarray:
-        return jnp.concatenate([self.sh_dc, self.sh_rest], axis=1)
+        rest = self.sh_rest
+        if rest.ndim == 2:                 # flat production storage
+            rest = rest.reshape(rest.shape[0], -1, 3)
+        return jnp.concatenate([self.sh_dc, rest], axis=1)
 
     def replace(self, **kw) -> "GaussianState":
         return dataclasses.replace(self, **kw)
@@ -169,7 +180,7 @@ def from_points(xyz: jnp.ndarray, rgb: jnp.ndarray, sh_degree: int = 3,
         log_scales=pad(log_scales, fill=-10.0),
         opacity_logits=pad(jnp.full((n, 1), inv_sig), fill=-100.0),
         sh_dc=pad(rgb_to_sh_dc(jnp.asarray(rgb, jnp.float32))[:, None]),
-        sh_rest=pad(jnp.zeros((n, k_sh - 1, 3))),
+        sh_rest=pad(jnp.zeros((n, (k_sh - 1) * 3))),
         active=jnp.arange(cap) < n,
     )
 

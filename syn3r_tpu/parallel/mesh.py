@@ -36,6 +36,30 @@ def make_mesh_2d(n_a: int, n_b: int, axes=("dir", "model")) -> Mesh:
     return Mesh(np.asarray(devices[:n_a * n_b]).reshape(n_a, n_b), axes)
 
 
+def make_scene_topology(devices=None):
+    """The production within-scene placement (PARITY.md "≥3x target"):
+    a (pair, dir) mesh where every (view-pair, direction) completion unit
+    of one scene runs on its own chip — LLFF's 3 wrap-around pairs x 2
+    directions fill 6 of a v5e-8's chips. Returns (pair_sharding,
+    direction_sharding), or (None, None) on a single device.
+
+    The pair axis feeds ``DiffusionGSConfig.pair_sharding`` (the
+    orchestrator pads the pair count to the axis extent); the dir axis
+    feeds ``GuidedSVDConfig.direction_sharding`` (which also keeps the
+    per-chip UNet batch at the single-direction size that fits v5e HBM —
+    the direction-BATCHED single-chip variant measured 17.8 GB vs 15.75).
+    """
+    import numpy as np
+    devices = jax.devices() if devices is None else list(devices)
+    d = len(devices)
+    if d < 2:
+        return None, None
+    pairs = d // 2 if d >= 4 else 1
+    mesh = Mesh(np.asarray(devices[:pairs * 2]).reshape(pairs, 2),
+                ("pair", "dir"))
+    return NamedSharding(mesh, P("pair")), NamedSharding(mesh, P("dir"))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -284,26 +284,36 @@ class DiffusionGS:
         keys = {pi: jax.random.PRNGKey(cfg.seed + 1000 * cycle + pi)
                 for pi, _, _, _ in pending}
         if cfg.pair_parallel and len(pending) > 1:
-            # pad the pair axis to a multiple of its mesh extent
-            # (device_put requires even shards); padded slots recompute
-            # the last pair and are dropped below
+            # With a mesh, run WAVES of pair-axis-extent pairs: the vmapped
+            # pair axis is BATCHED, not sequential, so more pairs than
+            # shards would put >1 full-size completion per chip
+            # simultaneously and blow HBM (DL3DV: 9 pairs on a 4-extent
+            # axis -> 3 waves of <=4, each chip holding ONE pair — the
+            # PARITY.md v5e-8 wave model, executed literally). Each wave
+            # pads to a multiple of the extent (device_put requires even
+            # shards); padded slots recompute the wave's last pair and are
+            # dropped below.
             shards = _leading_axis_shards(cfg.pair_sharding)
-            pad = (-len(pending)) % shards
-            rows = [c for _, _, c, _ in pending] + [pending[-1][2]] * pad
-            krows = ([keys[pi] for pi, _, _, _ in pending]
-                     + [keys[pending[-1][0]]] * pad)
-            conds = jax.tree.map(lambda *xs: jnp.stack(xs), *rows)
-            kb = jnp.stack(krows)
-            if cfg.pair_sharding is not None:
-                conds = jax.tree.map(
-                    lambda x: jax.device_put(x, cfg.pair_sharding), conds)
-                kb = jax.device_put(kb, cfg.pair_sharding)
-            frames_b = jax.vmap(
-                lambda c, k: self.completion_fn(
-                    c.image_start, c.cond_images, c.image_end, c.masks,
-                    c.lambda_ts, k))(conds, kb)
-            for bi, (pi, cache, cond, poses_j) in enumerate(pending):
-                finish(pi, cache, cond, poses_j, frames_b[bi])
+            wave = shards if cfg.pair_sharding is not None else len(pending)
+            for w0 in range(0, len(pending), wave):
+                batch = pending[w0:w0 + wave]
+                pad = (-len(batch)) % shards
+                rows = [c for _, _, c, _ in batch] + [batch[-1][2]] * pad
+                krows = ([keys[pi] for pi, _, _, _ in batch]
+                         + [keys[batch[-1][0]]] * pad)
+                conds = jax.tree.map(lambda *xs: jnp.stack(xs), *rows)
+                kb = jnp.stack(krows)
+                if cfg.pair_sharding is not None:
+                    conds = jax.tree.map(
+                        lambda x: jax.device_put(x, cfg.pair_sharding),
+                        conds)
+                    kb = jax.device_put(kb, cfg.pair_sharding)
+                frames_b = jax.vmap(
+                    lambda c, k: self.completion_fn(
+                        c.image_start, c.cond_images, c.image_end, c.masks,
+                        c.lambda_ts, k))(conds, kb)
+                for bi, (pi, cache, cond, poses_j) in enumerate(batch):
+                    finish(pi, cache, cond, poses_j, frames_b[bi])
         else:
             for pi, cache, cond, poses_j in pending:
                 frames = self.completion_fn(cond.image_start,

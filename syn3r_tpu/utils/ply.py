@@ -66,7 +66,9 @@ def save_gaussians_ply(path: str, state) -> None:
     act = np.asarray(state.active)
     xyz = np.asarray(state.means)[act]
     sh_dc = np.asarray(state.sh_dc)[act]          # (N, 1, 3)
-    sh_rest = np.asarray(state.sh_rest)[act]      # (N, K-1, 3)
+    sh_rest = np.asarray(state.sh_rest)[act]
+    if sh_rest.ndim == 2:       # flat (N, 3(K-1)) production storage
+        sh_rest = sh_rest.reshape(len(sh_rest), -1, 3)
     opacity = np.asarray(state.opacity_logits)[act]
     scales = np.asarray(state.log_scales)[act]
     rots = np.asarray(state.quats)[act]
@@ -126,7 +128,8 @@ def load_gaussians_ply(path: str, capacity=None):
     xyz = np.stack([rec["x"], rec["y"], rec["z"]], 1)
     sh_dc = np.stack([rec[f"f_dc_{i}"] for i in range(3)], 1)[:, None]
     rest = np.stack([rec[f"f_rest_{i}"] for i in range(3 * k_rest)], 1)
-    sh_rest = rest.reshape(n, 3, k_rest).transpose(0, 2, 1)
+    # flat (N, 3(K-1)) coefficient-major storage (see GaussianState.sh_rest)
+    sh_rest = rest.reshape(n, 3, k_rest).transpose(0, 2, 1).reshape(n, -1)
     quats = np.stack([rec[f"rot_{i}"] for i in range(4)], 1)
     pad_quats = pad(quats)
     pad_quats[n:, 0] = 1.0

@@ -250,3 +250,21 @@ def test_dir_tp_composed_guided_denoise():
                                            msk, lam)
     # 4-way sharded contractions reorder the fp32 sums; ~4e-5 observed
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_make_scene_topology():
+    """The CLI's --scene_parallel auto placement: (pair, dir) mesh over
+    the visible devices; single device -> disabled; 2 devices ->
+    direction-only (pair axis 1)."""
+    from syn3r_tpu.parallel.mesh import make_scene_topology
+
+    devs = jax.devices()
+    if len(devs) >= 8:
+        pair_sh, dir_sh = make_scene_topology(devs[:8])
+        assert pair_sh.mesh.devices.shape == (4, 2)
+        assert pair_sh.mesh.axis_names == ("pair", "dir")
+        assert str(pair_sh.spec) != str(dir_sh.spec)
+    pair_sh, dir_sh = make_scene_topology(devs[:2])
+    assert pair_sh.mesh.devices.shape == (1, 2)
+    pair_sh, dir_sh = make_scene_topology(devs[:1])
+    assert pair_sh is None and dir_sh is None
