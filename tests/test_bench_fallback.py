@@ -75,3 +75,52 @@ def test_probe_refuses_cpu_backend(monkeypatch):
     monkeypatch.setenv("SYN3R_BENCH_ALLOW_CPU", "1")
     ok, _ = m._probe_backend(timeout_s=5)
     assert ok
+
+
+def test_record_incremental_emission(tmp_path, capsys, monkeypatch):
+    """Round-5 emission contract: a fresh last-good emits IMMEDIATELY as a
+    provisional partial line (carried fields listed), live values replace
+    carried ones, and the final line drops the markers and refreshes the
+    last-good record."""
+    m = _load_bench()
+    monkeypatch.setattr(m, "_LAST_GOOD", str(tmp_path / "lg.json"))
+    m._record_last_good({
+        "metric": "guided_denoise_steps_per_sec", "value": 0.15,
+        "unit": "steps/s (both directions)", "vs_baseline": None,
+        "extra": {"gs_train_step_ms": 15.0, "unet_cfg_fwd_ms": 2100.0}})
+
+    rec = m._Record()
+    assert rec.seed_from_last_good()
+    rec.emit()
+    line1 = json.loads(capsys.readouterr().out.strip())
+    assert line1["extra"]["partial"] is True
+    assert "provisional_from_last_good" in line1["extra"]
+    assert "value" in line1["extra"]["carried_fields"]
+    assert line1["value"] == 0.15
+
+    rec.set_value(0.2)
+    rec.set(unet_cfg_fwd_ms=2000.0)
+    rec.emit()
+    line2 = json.loads(capsys.readouterr().out.strip())
+    assert line2["value"] == 0.2
+    assert line2["extra"]["unet_cfg_fwd_ms"] == 2000.0
+    cf = line2["extra"]["carried_fields"]
+    assert "value" not in cf and "unet_cfg_fwd_ms" not in cf
+    assert "gs_train_step_ms" in cf          # still carried
+
+    rec.set(gs_train_step_ms=13.0)
+    rec.emit(final=True)
+    final = json.loads(capsys.readouterr().out.strip())
+    for marker in ("partial", "carried_fields", "provisional_from_last_good"):
+        assert marker not in final["extra"]
+    stored = json.loads((tmp_path / "lg.json").read_text())
+    assert stored["result"]["value"] == 0.2
+    assert stored["result"]["extra"]["gs_train_step_ms"] == 13.0
+
+
+def test_record_no_last_good_starts_empty(tmp_path, monkeypatch):
+    m = _load_bench()
+    monkeypatch.setattr(m, "_LAST_GOOD", str(tmp_path / "none.json"))
+    rec = m._Record()
+    assert not rec.seed_from_last_good()
+    assert rec.result["extra"] == {}
