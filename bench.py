@@ -152,9 +152,17 @@ class _Record:
     def emit(self, final=False):
         extra = self.result["extra"]
         if final:
+            # never promote still-carried (unmeasured) fields into a
+            # freshly-dated record: drop them, so a code/record skew can't
+            # present an old value as part of this run's measurements
+            for k in self.carried - {"value"}:
+                extra.pop(k, None)
             for k in ("partial", "carried_fields",
                       "provisional_from_last_good"):
                 extra.pop(k, None)
+            if "value" in self.carried:       # primary never measured —
+                self.result["value"] = 0.0    # a final record would lie
+                extra["error"] = "primary metric was never measured live"
             _emit(self.result)
             _record_last_good(self.result)
         else:

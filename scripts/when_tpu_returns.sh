@@ -26,7 +26,10 @@ EOF
 stage() {  # stage <name> <timeout_s> <cmd...>
     local name=$1 tmo=$2; shift 2
     echo "[battery] === $name ===" >> "$LOG"
-    flock "$LOCK" timeout "$tmo" "$@" >> "$LOG" 2>&1
+    # bounded lock wait (-w): a wedged lock holder (e.g. a client that
+    # died mid-tunnel-outage while holding the lock's fd) must skip the
+    # stage, not hang the whole battery forever
+    flock -w 900 "$LOCK" timeout "$tmo" "$@" >> "$LOG" 2>&1
     echo "[battery] $name exit: $?" >> "$LOG"
 }
 
@@ -47,7 +50,7 @@ fi
 stage "verify drive" 3600 python .claude/skills/verify/drive.py
 
 echo "[battery] === bench ===" >> "$LOG"
-flock "$LOCK" env SYN3R_BENCH_LOCK_SKIP=1 SYN3R_BENCH_THOROUGH=1 \
+flock -w 900 "$LOCK" env SYN3R_BENCH_LOCK_SKIP=1 SYN3R_BENCH_THOROUGH=1 \
     timeout 5400 python bench.py > /tmp/bench_battery.json 2>> "$LOG"
 echo "[battery] bench exit: $?" >> "$LOG"
 cat /tmp/bench_battery.json >> "$LOG"
@@ -61,7 +64,7 @@ stage "pallas kernel A/B (FFN x NORMS flags)" 5400 python scripts/ab_flags.py
 # (Append-only expansion: no trailing colon when PYTHONPATH is unset —
 # an empty entry would put CWD on sys.path, ADVICE r4.)
 echo "[battery] === LLFF protocol evidence run ===" >> "$LOG"
-flock "$LOCK" env PYTHONPATH=/root/repo${PYTHONPATH:+:$PYTHONPATH} \
+flock -w 900 "$LOCK" env PYTHONPATH=/root/repo${PYTHONPATH:+:$PYTHONPATH} \
     timeout 5400 python .claude/skills/verify/protocol_run.py >> "$LOG" 2>&1
 echo "[battery] protocol exit: $?" >> "$LOG"
 echo "[battery] done $(date -u)" >> "$LOG"

@@ -879,8 +879,15 @@ class GSTrainer:
 
     def load_checkpoint(self, checkpoint: str):
         data = np.load(checkpoint)
+        fields = {f: data[f] for f in G.PARAM_FIELDS}
+        if fields["sh_rest"].ndim == 3:
+            # legacy rank-3 checkpoint: normalize to the flat storage so
+            # resumed training doesn't reintroduce the (15, 3)-minor-dims
+            # 11.4x TPU padding blow-up (see GaussianState.sh_rest)
+            fields["sh_rest"] = fields["sh_rest"].reshape(
+                len(fields["sh_rest"]), -1)
         g = G.GaussianState(
-            **{f: jnp.asarray(data[f]) for f in G.PARAM_FIELDS},
+            **{f: jnp.asarray(v) for f, v in fields.items()},
             active=jnp.asarray(data["active"]))
         self.state = TrainState(
             gaussians=g, adam=AdamState.init(G.get_params(g)),
