@@ -124,3 +124,33 @@ def test_record_no_last_good_starts_empty(tmp_path, monkeypatch):
     rec = m._Record()
     assert not rec.seed_from_last_good()
     assert rec.result["extra"] == {}
+
+
+def test_final_emit_never_promotes_carried_fields(tmp_path, capsys,
+                                                  monkeypatch):
+    """A final record must contain only live-measured values: still-carried
+    fields are dropped, and a never-measured primary finalizes as 0.0 with
+    an error instead of a stale value under fresh provenance."""
+    m = _load_bench()
+    monkeypatch.setattr(m, "_LAST_GOOD", str(tmp_path / "lg.json"))
+    m._record_last_good({
+        "metric": "guided_denoise_steps_per_sec", "value": 0.15,
+        "unit": "steps/s (both directions)", "vs_baseline": None,
+        "extra": {"old_metric_gone": 42.0, "gs_train_step_ms": 15.0}})
+
+    rec = m._Record()
+    rec.seed_from_last_good()
+    rec.set_value(0.2)
+    rec.set(gs_train_step_ms=13.0)
+    rec.emit(final=True)
+    final = json.loads(capsys.readouterr().out.strip())
+    assert "old_metric_gone" not in final["extra"]
+    assert final["extra"]["gs_train_step_ms"] == 13.0
+    stored = json.loads((tmp_path / "lg.json").read_text())
+    assert "old_metric_gone" not in stored["result"]["extra"]
+
+    rec2 = m._Record()
+    rec2.seed_from_last_good()
+    rec2.emit(final=True)
+    f2 = json.loads(capsys.readouterr().out.strip())
+    assert f2["value"] == 0.0 and "error" in f2["extra"]
