@@ -43,19 +43,9 @@ def merge_views(views, voxel: float = 0.0):
     return xyz, rgb
 
 
-def remove_statistical_outliers(xyz: np.ndarray, rgb: np.ndarray,
-                                k: int = 8, std_ratio: float = 2.0):
-    """open3d remove_statistical_outlier equivalent via the KNN op."""
-    import jax.numpy as jnp
-
-    from ..ops.knn import knn_sq_dists
-
-    if len(xyz) <= k:
-        return xyz, rgb
-    d = np.sqrt(np.asarray(knn_sq_dists(jnp.asarray(xyz, jnp.float32), k=k)))
-    mean_d = d.mean(axis=1)
-    keep = mean_d < mean_d.mean() + std_ratio * mean_d.std()
-    return xyz[keep], rgb[keep]
+# canonical home is utils/pcd.py (the pipeline layer uses it too);
+# re-exported here for the CLI surface and back-compat
+from ..utils.pcd import remove_statistical_outliers  # noqa: F401
 
 
 def write_colmap_points(xyz: np.ndarray, rgb01: np.ndarray, path: str):

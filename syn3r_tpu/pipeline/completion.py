@@ -98,7 +98,10 @@ def prepare_pair_conditioning(
     render_fn(pose 4x4 w2c) -> (rgb (H, W, 3), depth (H, W)) — the GS render
     at the diffusion resolution. poses: (F, 4, 4) interpolated w2c chain
     (endpoints included). Source endpoint for warping: left for interior
-    index < 12, right otherwise (reference :1416-1424).
+    index < 12, right otherwise — the constant 12 is the REFERENCE'S
+    hardcoded ``if i < 12`` (:1416-1424), kept verbatim (NOT scaled with
+    num_frames): with non-default F the reference skews its warp sources
+    the same way, and parity wins over prettiness here.
 
     warp_mode='backward_warp' (every shipped reference config) is the
     uncertainty-fused conditioning of ``_interpolate_between_gs_v3``
@@ -218,7 +221,11 @@ def _frame_conditioning_fw(src_img, src_depth, src_pose, pose, K,
 def covisibility_distance(pose_a: np.ndarray, pose_b: np.ndarray,
                           alpha: float = 1.0, beta: float = 1.0) -> float:
     """1 - exp(-a*|t|) * exp(-b*angle) — the FPS keyframe metric
-    (reference diffusionGS.py:185-217)."""
+    (reference diffusionGS.py:185-217). NOTE the translation term uses the
+    W2C translation column (|R_a c_a - R_b c_b|), not the camera-center
+    distance — reference-exact: its compute_dists/selection read
+    ``pose[:3, 3]`` of the w2c chain and carry the authors' own
+    '# TODO: We may need to use cam to world' (:516) unfixed."""
     t = float(np.linalg.norm(pose_a[:3, 3] - pose_b[:3, 3]))
     rel = pose_a[:3, :3].T @ pose_b[:3, :3]
     ang = float(np.arccos(np.clip((np.trace(rel) - 1) / 2, -1, 1)))
@@ -255,7 +262,11 @@ def interpolate_pair_poses(pose_l: np.ndarray, pose_r: np.ndarray,
 
 def split_point(poses: Sequence[np.ndarray]) -> int:
     """Index minimizing summed distances to the respective endpoints
-    (reference compute_dists, :1237-1296) — grid search replaces scipy."""
+    (reference compute_dists, :1237-1296) — grid search replaces scipy.
+    Deliberately UNCALLED from the live path, matching the reference: its
+    live ``_interpolate_between_gs_v3`` computes ``dists, min_indice``
+    (:793) and never reads them (dead assignment); the consumers live in
+    the dead ``_extrapolate_from*`` branches (:516, :619)."""
     pts = np.asarray([p[:3, 3] for p in poses])
     n = len(pts)
     best, best_cost = 1, np.inf

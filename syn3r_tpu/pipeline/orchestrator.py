@@ -133,6 +133,7 @@ class DiffusionGS:
         # diffusion-resolution intrinsics (reference :67-73)
         cam0: Camera = jax.tree.map(lambda x: x[0],
                                     trainer.train_views.cameras)
+        self.K_gs = jnp.asarray(cam0.K)
         self.gs_width, self.gs_height = (trainer.train_views.images.shape[2],
                                          trainer.train_views.images.shape[1])
         sx = config.diffusion_width / self.gs_width
@@ -227,9 +228,15 @@ class DiffusionGS:
             pose_r = np.asarray(cams.w2c[j])
             poses = C.interpolate_pair_poses(pose_l, pose_r, cfg.num_frames)
             if cfg.perturb_interp_poses and cfg.num_frames > 2:
+                # per-(cycle, pair) rng, like the completion keys below:
+                # with the shared self._rng stream, a resumed run (cache
+                # hits consume no draws) would perturb later pairs
+                # differently than an uninterrupted one
+                pair_rng = np.random.default_rng(
+                    cfg.seed + 1000 * cycle + pi)
                 interior = C.perturb_and_select_poses(
                     self.render_diffusion_res, self.diffusion_K,
-                    poses[1:-1], [pose_l, pose_r], self._rng,
+                    poses[1:-1], [pose_l, pose_r], pair_rng,
                     render_many_fn=self.render_many_diffusion_res)
                 poses = np.concatenate([poses[:1], interior, poses[-1:]])
             poses_j = jnp.asarray(poses)
@@ -369,14 +376,18 @@ class DiffusionGS:
         # (reference :386 ``or input_flags[i]``). Skipped without a flow_fn.
         if self.flow_fn is not None:
             from ..vision.gmflow import correspondence_mask
+            # all gate renders in ONE dispatch (the flow net itself still
+            # runs per frame — its cost dwarfs the render anyway)
+            rendered_all, _ = self.render_many_gs_res(
+                jnp.asarray(flat_poses))
             keep = []
             for i in range(len(flat_frames)):
                 if input_flags[i]:
                     keep.append(True)
                     continue
-                rendered, _ = self.render_gs_res(jnp.asarray(flat_poses[i]))
                 _, _, mean = correspondence_mask(
-                    self.flow_fn, jnp.asarray(flat_frames[i]), rendered)
+                    self.flow_fn, jnp.asarray(flat_frames[i]),
+                    rendered_all[i])
                 keep.append(float(mean) > cfg.pcd_frame_quality_thresh)
             keep = np.asarray(keep)
             if keep.sum() >= 2:
@@ -385,8 +396,7 @@ class DiffusionGS:
 
         from ..utils.se3 import se3_inverse
         c2w = np.asarray(se3_inverse(jnp.asarray(flat_poses)))
-        K_gs = np.asarray(jax.tree.map(lambda x: x[0],
-                                       self.trainer.train_views.cameras).K)
+        K_gs = np.asarray(self.K_gs)
         # DUSt3R input convention: width-512 frames with intrinsics scaled
         # by 512/W (reference diffusionGS.py:394) — the public checkpoints
         # are trained at this resolution.
@@ -407,7 +417,7 @@ class DiffusionGS:
         xyz, rgb = np.asarray(xyz), np.asarray(rgb)
         every_k = max(1, len(xyz) // 100_000)
         xyz, rgb = xyz[::every_k], rgb[::every_k]
-        from ..cli.generate_pcd import remove_statistical_outliers
+        from ..utils.pcd import remove_statistical_outliers
         xyz, rgb = remove_statistical_outliers(xyz, rgb, k=20, std_ratio=3.0)
         from ..utils.ply import write_ply_points
         write_ply_points(os.path.join(self.save_dir,
@@ -417,19 +427,15 @@ class DiffusionGS:
 
     def render_gs_res(self, pose: jnp.ndarray):
         """Render a pose at the GS training resolution."""
-        K_gs = jax.tree.map(lambda x: x[0],
-                            self.trainer.train_views.cameras).K
-        cam = make_camera(K_gs, pose, self.gs_width, self.gs_height)
+        cam = make_camera(self.K_gs, pose, self.gs_width, self.gs_height)
         out = self.trainer.render_view(cam)
         return out["render"], out["depth"]
 
     def render_many_gs_res(self, poses: jnp.ndarray):
         """Render a (P, 4, 4) pose batch at the GS training resolution in
         ONE dispatch (see render_many_diffusion_res)."""
-        K_gs = jax.tree.map(lambda x: x[0],
-                            self.trainer.train_views.cameras).K
         p = poses.shape[0]
-        cams = Camera(K=jnp.broadcast_to(K_gs, (p, 3, 3)),
+        cams = Camera(K=jnp.broadcast_to(self.K_gs, (p, 3, 3)),
                       w2c=jnp.asarray(poses, jnp.float32),
                       confidence=jnp.ones((p,), jnp.float32),
                       width=self.gs_width, height=self.gs_height)
@@ -464,8 +470,7 @@ class DiffusionGS:
             if ckpt:
                 tr.load_checkpoint(ckpt)
         flat_frames, flat_poses = self._refine_view_stack(frames, poses)
-        K_gs = np.asarray(jax.tree.map(lambda x: x[0],
-                                       tr.train_views.cameras).K)
+        K_gs = np.asarray(self.K_gs)
         depths = None
         if cfg.capture_pseudo_depth and tr.cfg.svd_depth_warmup > 0:
             # all pseudo-pose depths in ONE dispatch + one transfer
@@ -489,10 +494,24 @@ class DiffusionGS:
 
     def run(self, refine_cycles: Optional[int] = None, log_every: int = 0):
         """The full test-time loop (reference run(), :1668-1697)."""
-        cycles = refine_cycles or self.cfg.refine_cycle_num
+        cycles = (refine_cycles if refine_cycles is not None
+                  else self.cfg.refine_cycle_num)
         with self.timer.phase("init_gs", sync=True):
             self.init_GS(0, log_every=log_every)
         for cyc in range(cycles):
+            # Resume from the latest checkpoint BEFORE the pcd reset. The
+            # reference nominally loads it inside refine_GS (:1614-1625),
+            # AFTER run() applies reset_gaussians_from_pcd (:1685-1687) —
+            # but its load_checkpoint lives in the missing FSGS submodule;
+            # a full-model restore there would silently discard the
+            # cycle>=1 pcd append and defeat densify_pcds' documented
+            # purpose. Loading first is state-identical for uninterrupted
+            # runs (the in-memory state IS the latest checkpoint) and
+            # keeps the pcd densification live on resumed ones.
+            if cyc > 0:
+                ckpt = self.trainer.latest_checkpoint()
+                if ckpt:
+                    self.trainer.load_checkpoint(ckpt)
             with self.timer.phase("densify", sync=True):
                 frames, poses = self.densify_views(cyc, log_every=log_every)
             with self.timer.phase("densify_pcd", sync=True):
@@ -502,7 +521,7 @@ class DiffusionGS:
                     pcd[0], pcd[1], append_to_old_gaussians=(cyc > 0))
             with self.timer.phase("refine", sync=True):
                 self.refine_GS(frames, poses, cycle=cyc,
-                               load_ckpt=(cyc > 0), log_every=log_every)
+                               load_ckpt=False, log_every=log_every)
         if log_every:
             print("[timing]", self.timer.report())
         return self.trainer
